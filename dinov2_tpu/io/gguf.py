@@ -1,0 +1,427 @@
+"""GGUF v3 reader/writer, implemented from scratch on numpy + mmap.
+
+File-format interop target: files produced/consumed by the reference project
+lavaman131/dinov2.cpp (its converter `scripts/dinov2-to-gguf.py` uses the upstream
+`gguf` Python package; its C++ side uses ggml's `gguf_init_from_file`,
+see /root/reference/dinov2.cpp:263-272). This module implements the public GGUF v3
+on-disk layout directly so checkpoints are interchangeable in both directions.
+
+Layout (little-endian):
+  header:  magic "GGUF" | version u32 (=3) | n_tensors u64 | n_kv u64
+  kv:      key string (u64 len + utf8) | value_type u32 | value
+  tensors: name string | n_dims u32 | ne[u64]*n_dims | ggml_type u32 | data offset u64
+  padding to `general.alignment` (default 32), then tensor data (each offset aligned).
+
+Note on shapes: GGUF stores `ne` with ne[0] the *fastest-moving* (contiguous)
+dimension, i.e. the reverse of a C-order numpy shape. Quantized blocks run along
+ne[0]. We expose numpy-convention shapes and handle the reversal internally.
+"""
+
+from __future__ import annotations
+
+import enum
+import mmap
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, BinaryIO, Iterable, Mapping
+
+import numpy as np
+
+GGUF_MAGIC = b"GGUF"
+GGUF_VERSION = 3
+GGUF_DEFAULT_ALIGNMENT = 32
+
+
+class GGUFValueType(enum.IntEnum):
+    UINT8 = 0
+    INT8 = 1
+    UINT16 = 2
+    INT16 = 3
+    UINT32 = 4
+    INT32 = 5
+    FLOAT32 = 6
+    BOOL = 7
+    STRING = 8
+    ARRAY = 9
+    UINT64 = 10
+    INT64 = 11
+    FLOAT64 = 12
+
+
+class GGMLType(enum.IntEnum):
+    """ggml tensor dtypes used by the reference (subset of the full ggml enum)."""
+
+    F32 = 0
+    F16 = 1
+    Q4_0 = 2
+    Q4_1 = 3
+    Q5_0 = 6
+    Q5_1 = 7
+    Q8_0 = 8
+    I8 = 24
+    I16 = 25
+    I32 = 26
+    I64 = 27
+    F64 = 28
+    BF16 = 30
+
+
+# (block_size_elements, bytes_per_block)
+GGML_TYPE_TRAITS: dict[GGMLType, tuple[int, int]] = {
+    GGMLType.F32: (1, 4),
+    GGMLType.F16: (1, 2),
+    GGMLType.BF16: (1, 2),
+    GGMLType.F64: (1, 8),
+    GGMLType.I8: (1, 1),
+    GGMLType.I16: (1, 2),
+    GGMLType.I32: (1, 4),
+    GGMLType.I64: (1, 8),
+    GGMLType.Q4_0: (32, 18),  # fp16 d + 16B nibbles
+    GGMLType.Q4_1: (32, 20),  # fp16 d + fp16 m + 16B nibbles
+    GGMLType.Q5_0: (32, 22),  # fp16 d + u32 qh + 16B nibbles
+    GGMLType.Q5_1: (32, 24),  # fp16 d + fp16 m + u32 qh + 16B nibbles
+    GGMLType.Q8_0: (32, 34),  # fp16 d + 32 int8
+}
+
+QUANTIZED_TYPES = (
+    GGMLType.Q4_0,
+    GGMLType.Q4_1,
+    GGMLType.Q5_0,
+    GGMLType.Q5_1,
+    GGMLType.Q8_0,
+)
+
+_SIMPLE_NP_DTYPES: dict[GGMLType, np.dtype] = {
+    GGMLType.F32: np.dtype("<f4"),
+    GGMLType.F16: np.dtype("<f2"),
+    GGMLType.F64: np.dtype("<f8"),
+    GGMLType.I8: np.dtype("<i1"),
+    GGMLType.I16: np.dtype("<i2"),
+    GGMLType.I32: np.dtype("<i4"),
+    GGMLType.I64: np.dtype("<i8"),
+}
+
+_SCALAR_FMT: dict[GGUFValueType, str] = {
+    GGUFValueType.UINT8: "<B",
+    GGUFValueType.INT8: "<b",
+    GGUFValueType.UINT16: "<H",
+    GGUFValueType.INT16: "<h",
+    GGUFValueType.UINT32: "<I",
+    GGUFValueType.INT32: "<i",
+    GGUFValueType.FLOAT32: "<f",
+    GGUFValueType.BOOL: "<?",
+    GGUFValueType.UINT64: "<Q",
+    GGUFValueType.INT64: "<q",
+    GGUFValueType.FLOAT64: "<d",
+}
+
+
+def ggml_nbytes(ggml_type: GGMLType, shape: tuple[int, ...]) -> int:
+    """Byte size of a tensor: blocks run along the contiguous (last numpy) axis."""
+    block, block_bytes = GGML_TYPE_TRAITS[ggml_type]
+    if not shape:
+        shape = (1,)
+    inner = shape[-1]
+    if inner % block != 0:
+        raise ValueError(
+            f"inner dim {inner} not a multiple of {ggml_type.name} block size {block}"
+        )
+    n_rows = int(np.prod(shape[:-1], dtype=np.int64)) if len(shape) > 1 else 1
+    return n_rows * (inner // block) * block_bytes
+
+
+@dataclass
+class GGUFTensor:
+    """One tensor record. `data` is the raw on-disk bytes (possibly quantized blocks)."""
+
+    name: str
+    shape: tuple[int, ...]  # numpy convention (row-major, last axis contiguous)
+    ggml_type: GGMLType
+    data: np.ndarray  # uint8 view of raw bytes, or typed array for simple dtypes
+
+    @property
+    def nbytes(self) -> int:
+        return ggml_nbytes(self.ggml_type, self.shape)
+
+    def as_numpy(self) -> np.ndarray:
+        """Decode to a float/int numpy array (dequantizes block formats)."""
+        if self.ggml_type in _SIMPLE_NP_DTYPES:
+            return self.data.view(_SIMPLE_NP_DTYPES[self.ggml_type]).reshape(self.shape)
+        if self.ggml_type == GGMLType.BF16:
+            u16 = self.data.view("<u2").astype(np.uint32) << 16
+            return u16.view(np.float32).reshape(self.shape)  # type: ignore[return-value]
+        from dinov2_tpu.quant.blocks import dequantize
+
+        return dequantize(self.data.view(np.uint8).ravel(), self.ggml_type, self.shape)
+
+
+def _align(offset: int, alignment: int) -> int:
+    return (offset + alignment - 1) // alignment * alignment
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+class _Cursor:
+    def __init__(self, buf: memoryview | mmap.mmap):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> memoryview:
+        out = memoryview(self.buf)[self.pos : self.pos + n]
+        if len(out) != n:
+            raise EOFError("truncated GGUF file")
+        self.pos += n
+        return out
+
+    def unpack(self, fmt: str):
+        size = struct.calcsize(fmt)
+        return struct.unpack(fmt, self.take(size))[0]
+
+    def read_string(self) -> str:
+        n = self.unpack("<Q")
+        return bytes(self.take(n)).decode("utf-8")
+
+    def read_value(self, vtype: GGUFValueType):
+        if vtype == GGUFValueType.STRING:
+            return self.read_string()
+        if vtype == GGUFValueType.ARRAY:
+            elem_type = GGUFValueType(self.unpack("<I"))
+            n = self.unpack("<Q")
+            return [self.read_value(elem_type) for _ in range(n)]
+        return self.unpack(_SCALAR_FMT[vtype])
+
+
+class GGUFReader:
+    """mmap-backed GGUF reader. Tensor payloads are zero-copy views into the map."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self._file = open(self.path, "rb")
+        self._mmap = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        cur = _Cursor(self._mmap)
+
+        if bytes(cur.take(4)) != GGUF_MAGIC:
+            raise ValueError(f"{path}: not a GGUF file")
+        self.version = cur.unpack("<I")
+        if self.version not in (2, 3):
+            raise ValueError(f"{path}: unsupported GGUF version {self.version}")
+        n_tensors = cur.unpack("<Q")
+        n_kv = cur.unpack("<Q")
+
+        self.kv: dict[str, Any] = {}
+        self.kv_types: dict[str, GGUFValueType] = {}
+        for _ in range(n_kv):
+            key = cur.read_string()
+            vtype = GGUFValueType(cur.unpack("<I"))
+            self.kv[key] = cur.read_value(vtype)
+            self.kv_types[key] = vtype
+
+        self.alignment = int(self.kv.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
+
+        infos: list[tuple[str, tuple[int, ...], GGMLType, int]] = []
+        for _ in range(n_tensors):
+            name = cur.read_string()
+            n_dims = cur.unpack("<I")
+            ne = [cur.unpack("<Q") for _ in range(n_dims)]
+            ggml_type = GGMLType(cur.unpack("<I"))
+            offset = cur.unpack("<Q")
+            shape = tuple(reversed(ne)) if ne else (1,)
+            infos.append((name, shape, ggml_type, offset))
+
+        data_start = _align(cur.pos, self.alignment)
+        self.tensors: dict[str, GGUFTensor] = {}
+        for name, shape, ggml_type, offset in infos:
+            nbytes = ggml_nbytes(ggml_type, shape)
+            raw = np.frombuffer(
+                self._mmap, dtype=np.uint8, count=nbytes, offset=data_start + offset
+            )
+            self.tensors[name] = GGUFTensor(name, shape, ggml_type, raw)
+
+    def close(self) -> None:
+        """Best-effort close. Tensor arrays are zero-copy views into the mmap; if
+        any are still alive the map stays open until they are garbage-collected
+        (the OS page cache backs them either way)."""
+        try:
+            self._mmap.close()
+        except BufferError:
+            pass
+        self._file.close()
+
+    def __enter__(self) -> "GGUFReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+def _value_type_for(value: Any) -> GGUFValueType:
+    if isinstance(value, bool):
+        return GGUFValueType.BOOL
+    if isinstance(value, str):
+        return GGUFValueType.STRING
+    if isinstance(value, float):
+        return GGUFValueType.FLOAT32
+    if isinstance(value, int):
+        return GGUFValueType.UINT32 if 0 <= value < 2**32 else GGUFValueType.INT64
+    raise TypeError(f"cannot infer GGUF value type for {type(value)}")
+
+
+@dataclass
+class _KV:
+    key: str
+    vtype: GGUFValueType
+    value: Any
+
+
+class GGUFWriter:
+    """Streaming GGUF v3 writer mirroring the schema the reference emits."""
+
+    def __init__(self, path: str | Path, arch: str = "dinov2"):
+        self.path = Path(path)
+        self.alignment = GGUF_DEFAULT_ALIGNMENT
+        self._kvs: list[_KV] = []
+        self._tensors: list[GGUFTensor] = []
+        if arch:
+            self.add_kv("general.architecture", arch)
+
+    # -- KVs --------------------------------------------------------------
+    def add_kv(self, key: str, value: Any, vtype: GGUFValueType | None = None) -> None:
+        self._kvs.append(_KV(key, vtype or _value_type_for(value), value))
+
+    def add_uint32(self, key: str, value: int) -> None:
+        self.add_kv(key, int(value), GGUFValueType.UINT32)
+
+    def add_string(self, key: str, value: str) -> None:
+        self.add_kv(key, value, GGUFValueType.STRING)
+
+    # -- tensors -----------------------------------------------------------
+    def add_tensor(
+        self,
+        name: str,
+        data: np.ndarray,
+        ggml_type: GGMLType | None = None,
+        shape: tuple[int, ...] | None = None,
+    ) -> None:
+        """Add a tensor.
+
+        For plain dtypes pass a float16/float32/... array and the type is inferred.
+        For quantized blocks pass raw uint8 `data` plus explicit `ggml_type` and the
+        logical element `shape`.
+        """
+        if ggml_type is None:
+            np_to_ggml = {
+                np.dtype(np.float32): GGMLType.F32,
+                np.dtype(np.float16): GGMLType.F16,
+                np.dtype(np.int8): GGMLType.I8,
+                np.dtype(np.int16): GGMLType.I16,
+                np.dtype(np.int32): GGMLType.I32,
+                np.dtype(np.int64): GGMLType.I64,
+                np.dtype(np.float64): GGMLType.F64,
+            }
+            ggml_type = np_to_ggml[data.dtype]
+            shape = data.shape
+        if shape is None:
+            raise ValueError("shape is required for quantized tensors")
+        raw = np.ascontiguousarray(data).view(np.uint8).ravel()
+        expect = ggml_nbytes(ggml_type, tuple(shape))
+        if raw.nbytes != expect:
+            raise ValueError(
+                f"tensor {name}: got {raw.nbytes} bytes, expected {expect} "
+                f"for {ggml_type.name} {shape}"
+            )
+        self._tensors.append(GGUFTensor(name, tuple(shape), ggml_type, raw))
+
+    # -- serialize ----------------------------------------------------------
+    @staticmethod
+    def _pack_string(s: str) -> bytes:
+        b = s.encode("utf-8")
+        return struct.pack("<Q", len(b)) + b
+
+    def _pack_value(self, vtype: GGUFValueType, value: Any) -> bytes:
+        if vtype == GGUFValueType.STRING:
+            return self._pack_string(value)
+        if vtype == GGUFValueType.ARRAY:
+            if not value:
+                raise ValueError("cannot write empty untyped array")
+            elem_type = _value_type_for(value[0])
+            out = struct.pack("<I", elem_type) + struct.pack("<Q", len(value))
+            return out + b"".join(self._pack_value(elem_type, v) for v in value)
+        return struct.pack(_SCALAR_FMT[vtype], value)
+
+    def write(self) -> None:
+        header = struct.pack(
+            "<4sIQQ", GGUF_MAGIC, GGUF_VERSION, len(self._tensors), len(self._kvs)
+        )
+        kv_blob = b"".join(
+            self._pack_string(kv.key)
+            + struct.pack("<I", kv.vtype)
+            + self._pack_value(kv.vtype, kv.value)
+            for kv in self._kvs
+        )
+        info_blob = b""
+        offset = 0
+        for t in self._tensors:
+            ne = tuple(reversed(t.shape))
+            info_blob += self._pack_string(t.name)
+            info_blob += struct.pack("<I", len(ne))
+            info_blob += b"".join(struct.pack("<Q", d) for d in ne)
+            info_blob += struct.pack("<I", t.ggml_type)
+            info_blob += struct.pack("<Q", offset)
+            offset = _align(offset + t.nbytes, self.alignment)
+
+        head_len = len(header) + len(kv_blob) + len(info_blob)
+        data_start = _align(head_len, self.alignment)
+
+        with open(self.path, "wb") as f:
+            f.write(header)
+            f.write(kv_blob)
+            f.write(info_blob)
+            f.write(b"\x00" * (data_start - head_len))
+            pos = 0
+            for t in self._tensors:
+                f.write(t.data.tobytes())
+                pos += t.nbytes
+                pad = _align(pos, self.alignment) - pos
+                f.write(b"\x00" * pad)
+                pos += pad
+
+    close = write  # parity with the upstream writer's API shape
+
+
+# ---------------------------------------------------------------------------
+# Convenience API
+# ---------------------------------------------------------------------------
+
+
+def read_gguf(path: str | Path) -> tuple[dict[str, Any], dict[str, GGUFTensor]]:
+    reader = GGUFReader(path)
+    return reader.kv, reader.tensors
+
+
+def write_gguf(
+    path: str | Path,
+    kv: Mapping[str, Any],
+    tensors: Iterable[GGUFTensor] | Mapping[str, np.ndarray],
+    arch: str = "dinov2",
+) -> None:
+    w = GGUFWriter(path, arch=arch)
+    for k, v in kv.items():
+        if k == "general.architecture":
+            continue
+        w.add_kv(k, v)
+    if isinstance(tensors, Mapping):
+        for name, arr in tensors.items():
+            w.add_tensor(name, arr)
+    else:
+        for t in tensors:
+            w.add_tensor(t.name, t.data, t.ggml_type, t.shape)
+    w.write()

@@ -1,0 +1,179 @@
+"""ggml block-quantization codecs (q4_0 / q4_1 / q5_0 / q5_1 / q8_0) in numpy.
+
+Semantics match ggml's reference quantizers bit-for-bit (the C++ reference calls
+`ggml_quantize_chunk` / dequant kernels from the vendored ggml submodule; see
+/root/reference/dinov2.cpp:414-427 for the quantize path and SURVEY.md §2 C17/C23):
+
+  q4_0: d=fp16(signed_absmax/-8),           x = d*(q-8),   q in [0,15]
+  q4_1: d=fp16((max-min)/15), m=fp16(min),  x = d*q + m
+  q5_0: d=fp16(signed_absmax/-16), qh u32,  x = d*(q-16),  q in [0,31]
+  q5_1: d=fp16((max-min)/31), m, qh u32,    x = d*q + m
+  q8_0: d=fp16(absmax/127),                 x = d*q,       q int8
+
+Block size is 32 elements; blocks run along the contiguous (last) axis.
+C truncation/rounding quirks are reproduced exactly:
+  q4_0/q5_0 use trunc(x*id + {8.5,16.5}) with a high clamp,
+  q4_1/q5_1 use trunc((x-min)*id + 0.5),
+  q8_0 uses roundf (half away from zero).
+
+These codecs are the numpy fallback; `dinov2_tpu.utils.native` exposes the same
+entry points backed by the C++ codec in csrc/ when built.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dinov2_tpu.io.gguf import GGMLType
+
+QK = 32  # ggml block size for all the formats we support
+
+_BLOCK_DTYPES: dict[GGMLType, np.dtype] = {
+    GGMLType.Q4_0: np.dtype([("d", "<f2"), ("qs", "u1", (16,))]),
+    GGMLType.Q4_1: np.dtype([("d", "<f2"), ("m", "<f2"), ("qs", "u1", (16,))]),
+    GGMLType.Q5_0: np.dtype([("d", "<f2"), ("qh", "<u4"), ("qs", "u1", (16,))]),
+    GGMLType.Q5_1: np.dtype([("d", "<f2"), ("m", "<f2"), ("qh", "<u4"), ("qs", "u1", (16,))]),
+    GGMLType.Q8_0: np.dtype([("d", "<f2"), ("qs", "i1", (32,))]),
+}
+
+
+def block_dtype(ggml_type: GGMLType) -> np.dtype:
+    return _BLOCK_DTYPES[ggml_type]
+
+
+def _to_blocks(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if x.shape[-1] % QK != 0:
+        raise ValueError(f"last dim {x.shape[-1]} not a multiple of {QK}")
+    return x.reshape(-1, QK)
+
+
+def _signed_absmax(blocks: np.ndarray) -> np.ndarray:
+    """The element with the largest magnitude, sign preserved (ggml's `max`)."""
+    idx = np.argmax(np.abs(blocks), axis=1)
+    return blocks[np.arange(blocks.shape[0]), idx]
+
+
+def _safe_inv(d: np.ndarray) -> np.ndarray:
+    with np.errstate(divide="ignore"):
+        inv = np.where(d != 0.0, 1.0 / d, 0.0)
+    return inv.astype(np.float32)
+
+
+def _pack_nibbles(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    return ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.uint8)
+
+
+def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
+    """Quantize a float array to raw block bytes (uint8, flat)."""
+    blocks = _to_blocks(x)
+    n = blocks.shape[0]
+    out = np.zeros(n, dtype=_BLOCK_DTYPES[ggml_type])
+
+    if ggml_type == GGMLType.Q4_0:
+        maxv = _signed_absmax(blocks)
+        d = maxv / -8.0
+        q = np.minimum(15, np.trunc(blocks * _safe_inv(d)[:, None] + 8.5).astype(np.int32))
+        out["d"] = d.astype(np.float16)
+        out["qs"] = _pack_nibbles(q[:, :16], q[:, 16:])
+    elif ggml_type == GGMLType.Q4_1:
+        mn = blocks.min(axis=1)
+        mx = blocks.max(axis=1)
+        d = (mx - mn) / 15.0
+        q = np.minimum(
+            15, np.trunc((blocks - mn[:, None]) * _safe_inv(d)[:, None] + 0.5).astype(np.int32)
+        )
+        out["d"] = d.astype(np.float16)
+        out["m"] = mn.astype(np.float16)
+        out["qs"] = _pack_nibbles(q[:, :16], q[:, 16:])
+    elif ggml_type == GGMLType.Q5_0:
+        maxv = _signed_absmax(blocks)
+        d = maxv / -16.0
+        q = np.minimum(31, np.trunc(blocks * _safe_inv(d)[:, None] + 16.5).astype(np.int32))
+        out["d"] = d.astype(np.float16)
+        out["qs"] = _pack_nibbles(q[:, :16], q[:, 16:])
+        bits = (q >> 4) & 1  # (n, 32): the 5th bit of each element
+        shifts = np.arange(QK, dtype=np.uint32)  # element j -> qh bit j
+        out["qh"] = (bits.astype(np.uint64) << shifts).sum(axis=1).astype(np.uint32)
+    elif ggml_type == GGMLType.Q5_1:
+        mn = blocks.min(axis=1)
+        mx = blocks.max(axis=1)
+        d = (mx - mn) / 31.0
+        q = np.minimum(
+            31, np.trunc((blocks - mn[:, None]) * _safe_inv(d)[:, None] + 0.5).astype(np.int32)
+        )
+        out["d"] = d.astype(np.float16)
+        out["m"] = mn.astype(np.float16)
+        out["qs"] = _pack_nibbles(q[:, :16], q[:, 16:])
+        bits = (q >> 4) & 1
+        shifts = np.arange(QK, dtype=np.uint32)
+        out["qh"] = (bits.astype(np.uint64) << shifts).sum(axis=1).astype(np.uint32)
+    elif ggml_type == GGMLType.Q8_0:
+        amax = np.abs(blocks).max(axis=1)
+        d = amax / 127.0
+        scaled = blocks * _safe_inv(d)[:, None]
+        # roundf: half away from zero
+        q = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+        out["d"] = d.astype(np.float16)
+        out["qs"] = q.astype(np.int8)
+    else:
+        raise ValueError(f"unsupported quant type {ggml_type}")
+
+    return out.view(np.uint8).ravel()
+
+
+def _unpack_nibbles(qs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return (qs & 0xF).astype(np.int32), (qs >> 4).astype(np.int32)
+
+
+def _qh_bits(qh: np.ndarray) -> np.ndarray:
+    """(n,) uint32 -> (n, 32) the per-element 5th bits."""
+    shifts = np.arange(QK, dtype=np.uint32)
+    return ((qh[:, None].astype(np.uint64) >> shifts) & 1).astype(np.int32)
+
+
+def dequantize(
+    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]
+) -> np.ndarray:
+    """Decode raw block bytes back to float32 with the given logical shape."""
+    if ggml_type == GGMLType.F32:
+        return raw.view("<f4").reshape(shape).astype(np.float32)
+    if ggml_type == GGMLType.F16:
+        return raw.view("<f2").reshape(shape).astype(np.float32)
+
+    blocks = raw.view(np.uint8).view(_BLOCK_DTYPES[ggml_type])
+    d = blocks["d"].astype(np.float32)[:, None]
+
+    if ggml_type == GGMLType.Q4_0:
+        lo, hi = _unpack_nibbles(blocks["qs"])
+        q = np.concatenate([lo, hi], axis=1)
+        x = d * (q - 8)
+    elif ggml_type == GGMLType.Q4_1:
+        lo, hi = _unpack_nibbles(blocks["qs"])
+        q = np.concatenate([lo, hi], axis=1)
+        x = d * q + blocks["m"].astype(np.float32)[:, None]
+    elif ggml_type == GGMLType.Q5_0:
+        lo, hi = _unpack_nibbles(blocks["qs"])
+        bits = _qh_bits(blocks["qh"])
+        q = np.concatenate([lo | (bits[:, :16] << 4), hi | (bits[:, 16:] << 4)], axis=1)
+        x = d * (q - 16)
+    elif ggml_type == GGMLType.Q5_1:
+        lo, hi = _unpack_nibbles(blocks["qs"])
+        bits = _qh_bits(blocks["qh"])
+        q = np.concatenate([lo | (bits[:, :16] << 4), hi | (bits[:, 16:] << 4)], axis=1)
+        x = d * q + blocks["m"].astype(np.float32)[:, None]
+    elif ggml_type == GGMLType.Q8_0:
+        x = d * blocks["qs"].astype(np.float32)
+    else:
+        raise ValueError(f"unsupported quant type {ggml_type}")
+
+    return x.astype(np.float32).reshape(shape)
+
+
+def validate_quantized(raw: np.ndarray, ggml_type: GGMLType) -> bool:
+    """Equivalent of ggml_validate_row_data: scales/mins must be finite fp16."""
+    blocks = raw.view(np.uint8).view(_BLOCK_DTYPES[ggml_type])
+    ok = np.isfinite(blocks["d"].astype(np.float32)).all()
+    if "m" in blocks.dtype.names:
+        ok &= np.isfinite(blocks["m"].astype(np.float32)).all()
+    return bool(ok)
