@@ -1,0 +1,184 @@
+"""DINOv2 ViT forward pass — functional, batch-first, scan-over-layers.
+
+Behavioral reference: /root/reference/dinov2.cpp
+  - patch embed + token assembly: 629-686 (conv-as-matmul; CLS concat; pos-embed
+    add; register tokens spliced AFTER the pos add so they get no positional
+    embedding — quirk in SURVEY.md C8)
+  - encoder layer: 688-750 (pre-LN, MHSA, LayerScale, residual; LN2, MLP or
+    SwiGLU, LayerScale2, residual; SwiGLU iff giant — quirk Q6)
+  - final LN + output taps: 754-789 (feature mode drops CLS+registers from
+    patch_tokens; classify mode drops only CLS — quirk Q5)
+  - classification head: 792-821 (pooled = sum(patch_tokens)/n_img_embd² — the
+    MODEL-grid count, not the runtime count — quirk Q3; concat(CLS, pooled);
+    linear classifier; softmax)
+
+TPU-first design: batch is a leading axis everywhere; encoder layers are stacked
+and driven by one `lax.scan`; norms/softmax in f32, matmuls in the compute dtype
+(bf16 by default) on the MXU; the whole thing is one jittable function.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from dinov2_tpu.image.posembed import interpolate_pos_embed
+from dinov2_tpu.models.config import DinoConfig
+from dinov2_tpu.ops.attention import self_attention
+from dinov2_tpu.ops.qmatmul import apply_linear
+
+
+@dataclass(frozen=True)
+class ModelOptions:
+    """Static numerics/parity switches (hashable; part of the jit cache key)."""
+
+    parity: str = "reference"  # "reference" replicates ggml quirks; "hf" matches HF
+    flash_attention: bool = False
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def gelu_approximate(self) -> bool:
+        # ggml_gelu is the tanh approximation; HF Dinov2 uses exact erf GELU.
+        return self.parity == "reference"
+
+
+def layer_norm(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
+    """ggml_norm + affine (dinov2.cpp:694-700): stats in f32."""
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def mlp_block(x: jnp.ndarray, p: dict, approximate_gelu: bool) -> jnp.ndarray:
+    """fc1 -> GELU -> fc2 (dinov2.cpp:556-575)."""
+    h = apply_linear(x, p["fc1"])
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=approximate_gelu).astype(x.dtype)
+    return apply_linear(h, p["fc2"])
+
+
+def swiglu_block(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """weights_in -> split halves -> SiLU(x1)*x2 -> weights_out (dinov2.cpp:577-614)."""
+    h = apply_linear(x, p["win"])
+    x1, x2 = jnp.split(h, 2, axis=-1)
+    h = (jax.nn.silu(x1.astype(jnp.float32)) * x2.astype(jnp.float32)).astype(x.dtype)
+    return apply_linear(h, p["wout"])
+
+
+def encoder_layer(
+    x: jnp.ndarray, layer: dict, config: DinoConfig, opts: ModelOptions
+) -> jnp.ndarray:
+    h = layer_norm(x, layer["norm1"], config.eps)
+    h = self_attention(
+        h, layer["qkv"], layer["proj"], config.num_attention_heads,
+        flash=opts.flash_attention,
+    )
+    x = x + (h.astype(jnp.float32) * layer["ls1"]).astype(x.dtype)
+
+    h = layer_norm(x, layer["norm2"], config.eps)
+    if config.swiglu:
+        h = swiglu_block(h, layer["mlp"])
+    else:
+        h = mlp_block(h, layer["mlp"], opts.gelu_approximate)
+    x = x + (h.astype(jnp.float32) * layer["ls2"]).astype(x.dtype)
+    return x
+
+
+def embed_tokens(
+    params: dict, x: jnp.ndarray, config: DinoConfig, opts: ModelOptions
+) -> jnp.ndarray:
+    """Preprocessed images (B, H, W, 3) -> token sequence (B, 1+R+N, D)."""
+    b, h, w, c = x.shape
+    p = config.patch_size
+    gh, gw = h // p, w // p
+
+    # stride-p conv == per-patch flatten + matmul (patch pixels ordered (py, px, c)
+    # to match the kernel layout produced in models/params.py)
+    dtype = opts.compute_dtype
+    patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b, gh * gw, p * p * c).astype(dtype)
+    tokens = jnp.dot(
+        patches, params["patch_embed"]["kernel"], preferred_element_type=jnp.float32
+    )
+    tokens = tokens + params["patch_embed"]["bias"]
+
+    pos = interpolate_pos_embed(params["pos_embed"], config.n_img_embd, (gh, gw))
+
+    cls = params["cls_token"][None, None, :] + pos[None, :1]
+    tokens = tokens + pos[None, 1:]
+    cls = jnp.broadcast_to(cls, (b, 1, tokens.shape[-1]))
+
+    parts = [cls.astype(dtype), tokens.astype(dtype)]
+    if config.num_register_tokens > 0:
+        reg = jnp.broadcast_to(
+            params["register_tokens"][None],
+            (b, config.num_register_tokens, tokens.shape[-1]),
+        )
+        parts.insert(1, reg.astype(dtype))  # after pos-add: registers get no pos-embed
+    return jnp.concatenate(parts, axis=1)
+
+
+def forward_features(
+    params: dict, x: jnp.ndarray, config: DinoConfig, opts: ModelOptions
+) -> jnp.ndarray:
+    """(B, H, W, 3) preprocessed -> final-normed tokens (B, 1+R+N, D) in f32."""
+    tokens = embed_tokens(params, x, config, opts)
+
+    def body(carry, layer):
+        return encoder_layer(carry, layer, config, opts), None
+
+    tokens, _ = jax.lax.scan(body, tokens, params["layers"])
+    tokens = layer_norm(
+        tokens.astype(jnp.float32), params["final_norm"], config.eps
+    )
+    return tokens
+
+
+def forward_head(
+    params: dict, tokens: jnp.ndarray, config: DinoConfig, opts: ModelOptions
+) -> jnp.ndarray:
+    """Final tokens -> class probabilities (B, num_classes), f32.
+
+    Classify-mode pooling includes register tokens (quirk Q5) and, in reference
+    parity mode, divides by the model-grid patch count n_img_embd² rather than the
+    runtime patch count (quirk Q3, dinov2.cpp:800-803).
+    """
+    cls = tokens[:, 0]
+    patch = tokens[:, 1:]  # registers INCLUDED for pooling
+    if opts.parity == "reference":
+        divisor = float(config.n_img_embd**2)
+        pooled = patch.sum(axis=1) / divisor
+    else:
+        pooled = patch.mean(axis=1)
+    feats = jnp.concatenate([cls, pooled], axis=-1)
+    logits = jnp.dot(
+        feats, params["classifier"]["kernel"], preferred_element_type=jnp.float32
+    )
+    logits = logits + params["classifier"]["bias"]
+    return jax.nn.softmax(logits, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("config", "opts", "classify"))
+def forward(
+    params: dict,
+    x: jnp.ndarray,
+    config: DinoConfig,
+    opts: ModelOptions,
+    classify: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """Full jitted forward. Returns f32 outputs:
+    cls_token (B, D); patch_tokens (B, N, D) — feature-mode tap, registers and CLS
+    dropped (quirk Q5); probs (B, classes) when classify=True."""
+    tokens = forward_features(params, x, config, opts)
+    out = {
+        "cls_token": tokens[:, 0],
+        "patch_tokens": tokens[:, 1 + config.num_register_tokens :],
+    }
+    if classify:
+        out["probs"] = forward_head(params, tokens, config, opts)
+    return out

@@ -1,0 +1,72 @@
+"""Multi-head self-attention for the DINOv2 encoder.
+
+Behavioral reference: /root/reference/dinov2.cpp:458-554 — fused-QKV projection,
+scale = 1/sqrt(head_dim) applied to the logits, non-causal softmax, output dense.
+The reference has two paths (vanilla matmul-softmax and a padded ggml
+flash-attention, quirk Q8); here the two paths are a batched einsum formulation
+(XLA fuses it) and a Pallas online-softmax flash kernel for TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dinov2_tpu.ops.qmatmul import apply_linear
+
+
+def split_heads(qkv: jnp.ndarray, num_heads: int) -> tuple[jnp.ndarray, ...]:
+    """(B, T, 3D) fused-qkv -> three (B, T, H, hd) tensors.
+
+    The fused layout is [q; k; v] along the feature axis (converter fuses with
+    torch.cat([q,k,v], dim=0), dinov2-to-gguf.py:94).
+    """
+    b, t, three_d = qkv.shape
+    d = three_d // 3
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = d // num_heads
+    shape = (b, t, num_heads, hd)
+    return q.reshape(shape), k.reshape(shape), v.reshape(shape)
+
+
+def vanilla_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """(B, T, H, hd) -> (B, T, H, hd); softmax in float32."""
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    weights = jax.nn.softmax(scores * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd",
+        weights.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def self_attention(
+    x: jnp.ndarray,
+    qkv_params: dict,
+    proj_params: dict,
+    num_heads: int,
+    flash: bool = False,
+) -> jnp.ndarray:
+    """Full MHSA block: fused-qkv -> attention core -> output projection."""
+    b, t, d = x.shape
+    hd = d // num_heads
+    scale = 1.0 / (hd**0.5)
+
+    qkv = apply_linear(x, qkv_params)
+    q, k, v = split_heads(qkv, num_heads)
+
+    if flash:
+        from dinov2_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, scale)
+    else:
+        out = vanilla_attention(q, k, v, scale)
+
+    out = out.reshape(b, t, d)
+    return apply_linear(out, proj_params)

@@ -1,0 +1,84 @@
+"""Quantized linear apply: on-device dequant + matmul.
+
+Two paths:
+  - "xla": unpack ggml blocks with jnp bit ops, cast to compute dtype, matmul.
+    Simple, correct everywhere (CPU tests + TPU); XLA fuses the unpack into the
+    weight read but does materialize the dequantized tile.
+  - "pallas": fused dequant-matmul kernel (dinov2_tpu.ops.pallas_qmatmul) that
+    dequantizes ggml blocks in VMEM right before feeding the MXU — weights stay
+    packed in HBM (the TPU analog of ggml's quantized CPU kernels, SURVEY.md C23).
+
+Reference behavior being reproduced: quantized inference where 2D `.*weight`
+tensors are ggml blocks and everything else stays fp16/fp32
+(/root/reference/dinov2.cpp:227-236, 355-453).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dinov2_tpu.io.gguf import GGMLType
+
+
+def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Decode a QuantLinear's packed blocks to a dense (out, in) weight on device."""
+    out_dim, in_dim = ql.shape
+    nb = in_dim // 32
+    t = GGMLType(ql.ggml_type)
+
+    if t == GGMLType.Q8_0:
+        q = ql.qs.astype(jnp.float32).reshape(out_dim, nb, 32)
+        w = q * ql.d[..., None]
+        return w.reshape(out_dim, in_dim).astype(dtype)
+
+    # nibble formats: qs is (out, in//2) packed as [block j: lo nibbles = elems 0..15,
+    # hi nibbles = elems 16..31]
+    qs = ql.qs.reshape(out_dim, nb, 16)
+    lo = (qs & 0xF).astype(jnp.int32)
+    hi = (qs >> 4).astype(jnp.int32)
+    q = jnp.concatenate([lo, hi], axis=-1)  # (out, nb, 32)
+
+    if t in (GGMLType.Q5_0, GGMLType.Q5_1):
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = ((ql.qh[..., None] >> shifts) & 1).astype(jnp.int32)  # (out, nb, 32)
+        q = q | (bits << 4)
+
+    if t == GGMLType.Q4_0:
+        w = (q - 8).astype(jnp.float32) * ql.d[..., None]
+    elif t == GGMLType.Q4_1:
+        w = q.astype(jnp.float32) * ql.d[..., None] + ql.m[..., None]
+    elif t == GGMLType.Q5_0:
+        w = (q - 16).astype(jnp.float32) * ql.d[..., None]
+    elif t == GGMLType.Q5_1:
+        w = q.astype(jnp.float32) * ql.d[..., None] + ql.m[..., None]
+    else:
+        raise ValueError(f"unsupported quant type {t}")
+    return w.reshape(out_dim, in_dim).astype(dtype)
+
+
+def quant_matmul(x: jnp.ndarray, ql, backend: str = "auto") -> jnp.ndarray:
+    """y = x @ W^T where W is a packed (out, in) QuantLinear."""
+    if backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    ):
+        try:
+            from dinov2_tpu.ops.pallas_qmatmul import quant_matmul_pallas
+
+            return quant_matmul_pallas(x, ql)
+        except (ImportError, NotImplementedError):
+            pass
+    w = dequant_weight(ql, dtype=x.dtype)
+    return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def apply_linear(x: jnp.ndarray, layer: dict, backend: str = "auto") -> jnp.ndarray:
+    """Apply a linear layer whose kernel is either dense (in, out) or QuantLinear."""
+    kernel = layer["kernel"]
+    if hasattr(kernel, "ggml_type"):  # QuantLinear
+        y = quant_matmul(x, kernel, backend=backend)
+    else:
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+    if "bias" in layer:
+        y = (y.astype(jnp.float32) + layer["bias"]).astype(x.dtype)
+    return y

@@ -6,12 +6,17 @@ conftest. The real-TPU path is exercised by bench.py / __graft_entry__.py instea
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin in this image overrides JAX_PLATFORMS; the config knob wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys  # noqa: E402
 from pathlib import Path  # noqa: E402

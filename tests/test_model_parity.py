@@ -1,0 +1,214 @@
+"""End-to-end model parity: HF transformers (torch) is the oracle.
+
+Pipeline under test: HF model -> our converter -> GGUF -> our loader -> our jitted
+forward, compared against the torch forward on the same inputs. Models are tiny
+random-weight instances built from config (no network). Weights are rounded
+through fp16 on the torch side too, mirroring the GGUF dtype policy, so the
+comparison isolates compute-path differences.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+jnp = pytest.importorskip("jax.numpy")
+
+from dinov2_tpu.io.convert import convert_hf_model
+from dinov2_tpu.models.params import load_params
+from dinov2_tpu.models.vit import ModelOptions, forward
+
+HIDDEN, HEADS, LAYERS, INTER = 32, 2, 2, 64
+PATCH, IMG = 7, 28
+
+
+def _tiny_config(**kw):
+    from transformers import Dinov2Config
+
+    defaults = dict(
+        hidden_size=HIDDEN,
+        num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS,
+        intermediate_size=INTER,
+        image_size=IMG,
+        patch_size=PATCH,
+        num_labels=5,
+        attn_implementation="eager",
+    )
+    defaults.update(kw)
+    return Dinov2Config(**defaults)
+
+
+def _halve(model):
+    """Round weights through fp16 like the converter's dtype policy does."""
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(p.half().float())
+    return model
+
+
+def _jax_inputs(pixel_values):
+    return jnp.asarray(pixel_values.numpy().transpose(0, 2, 3, 1))
+
+
+F32_OPTS = ModelOptions(parity="hf", compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def torch_seed():
+    torch.manual_seed(1234)
+
+
+def _run_both(model, loaded, pixel_values, classify=False):
+    model.eval()
+    with torch.no_grad():
+        torch_out = model(pixel_values)
+    jax_out = forward(
+        loaded.params, _jax_inputs(pixel_values), loaded.config, F32_OPTS,
+        classify=classify,
+    )
+    return torch_out, jax_out
+
+
+def test_backbone_parity(tmp_path, torch_seed):
+    from transformers import Dinov2Model
+
+    model = _halve(Dinov2Model(_tiny_config()))
+    path = convert_hf_model(model, tmp_path / "m.gguf")
+    loaded = load_params(path, dtype=jnp.float32)
+
+    assert loaded.config.hidden_size == HIDDEN
+    assert loaded.config.num_hidden_layers == LAYERS
+    assert not loaded.config.swiglu
+
+    pixel_values = torch.randn(2, 3, IMG, IMG)
+    torch_out, jax_out = _run_both(model, loaded, pixel_values)
+
+    want_cls = torch_out.last_hidden_state[:, 0].numpy()
+    got_cls = np.asarray(jax_out["cls_token"])
+    np.testing.assert_allclose(got_cls, want_cls, rtol=2e-4, atol=2e-5)
+
+    want_patches = torch_out.last_hidden_state[:, 1:].numpy()
+    got_patches = np.asarray(jax_out["patch_tokens"])
+    np.testing.assert_allclose(got_patches, want_patches, rtol=2e-4, atol=2e-5)
+
+
+def test_classifier_parity(tmp_path, torch_seed):
+    from transformers import Dinov2ForImageClassification
+
+    cfg = _tiny_config()
+    cfg.id2label = {i: f"class_{i}" for i in range(5)}
+    model = _halve(Dinov2ForImageClassification(cfg))
+    path = convert_hf_model(model, tmp_path / "c.gguf")
+    loaded = load_params(path, dtype=jnp.float32)
+
+    assert loaded.has_classifier
+    assert loaded.config.num_classes == 5
+    assert loaded.id2label[3] == "class_3"
+
+    pixel_values = torch.randn(2, 3, IMG, IMG)
+    torch_out, jax_out = _run_both(model, loaded, pixel_values, classify=True)
+
+    want_probs = torch.softmax(torch_out.logits, dim=-1).numpy()
+    got_probs = np.asarray(jax_out["probs"])
+    np.testing.assert_allclose(got_probs, want_probs, rtol=1e-3, atol=1e-5)
+
+
+def test_registers_parity(tmp_path, torch_seed):
+    from transformers import (
+        Dinov2WithRegistersConfig,
+        Dinov2WithRegistersModel,
+    )
+
+    cfg = Dinov2WithRegistersConfig(
+        hidden_size=HIDDEN,
+        num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS,
+        intermediate_size=INTER,
+        image_size=IMG,
+        patch_size=PATCH,
+        num_register_tokens=4,
+        attn_implementation="eager",
+    )
+    model = _halve(Dinov2WithRegistersModel(cfg))
+    path = convert_hf_model(model, tmp_path / "r.gguf")
+    loaded = load_params(path, dtype=jnp.float32)
+
+    assert loaded.config.num_register_tokens == 4
+
+    pixel_values = torch.randn(2, 3, IMG, IMG)
+    torch_out, jax_out = _run_both(model, loaded, pixel_values)
+
+    want_cls = torch_out.last_hidden_state[:, 0].numpy()
+    np.testing.assert_allclose(
+        np.asarray(jax_out["cls_token"]), want_cls, rtol=2e-4, atol=2e-5
+    )
+    # our patch_tokens drop CLS+registers (quirk Q5); HF keeps them at 1..1+R
+    want_patches = torch_out.last_hidden_state[:, 1 + 4 :].numpy()
+    np.testing.assert_allclose(
+        np.asarray(jax_out["patch_tokens"]), want_patches, rtol=2e-4, atol=2e-5
+    )
+
+
+def test_swiglu_parity(tmp_path, torch_seed):
+    from transformers import Dinov2Model
+
+    model = _halve(Dinov2Model(_tiny_config(use_swiglu_ffn=True)))
+    path = convert_hf_model(model, tmp_path / "g.gguf")
+    loaded = load_params(path, dtype=jnp.float32)
+
+    assert loaded.config.swiglu
+
+    pixel_values = torch.randn(1, 3, IMG, IMG)
+    torch_out, jax_out = _run_both(model, loaded, pixel_values)
+    np.testing.assert_allclose(
+        np.asarray(jax_out["cls_token"]),
+        torch_out.last_hidden_state[:, 0].numpy(),
+        rtol=2e-4,
+        atol=2e-5,
+    )
+
+
+def test_reference_pooling_quirk(tmp_path, torch_seed):
+    """Quirk Q3: reference divides pooled patches by n_img_embd², not the true
+    count. With IMG==runtime size they coincide ONLY if grids match; use a larger
+    model grid to force a difference."""
+    from transformers import Dinov2ForImageClassification
+
+    cfg = _tiny_config(image_size=56)  # model grid 8x8=64 patches
+    model = _halve(Dinov2ForImageClassification(cfg))
+    path = convert_hf_model(model, tmp_path / "q3.gguf")
+    loaded = load_params(path, dtype=jnp.float32)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, IMG, IMG, 3)), jnp.float32)
+    ref = forward(
+        loaded.params, x, loaded.config,
+        ModelOptions(parity="reference", compute_dtype=jnp.float32), classify=True,
+    )
+    hf = forward(
+        loaded.params, x, loaded.config, F32_OPTS, classify=True
+    )
+    # runtime grid 4x4=16 patches vs model 64: reference-mode pooled is 4x smaller,
+    # so the two modes must genuinely differ
+    assert not np.allclose(np.asarray(ref["probs"]), np.asarray(hf["probs"]), atol=1e-6)
+
+
+def test_bf16_classification_stability(tmp_path, torch_seed):
+    """bf16 compute must preserve the top-1 class vs f32 on well-separated logits."""
+    from transformers import Dinov2ForImageClassification
+
+    model = _halve(Dinov2ForImageClassification(_tiny_config()))
+    path = convert_hf_model(model, tmp_path / "b.gguf")
+    f32 = load_params(path, dtype=jnp.float32)
+    bf16 = load_params(path, dtype=jnp.bfloat16)
+
+    x = np.random.default_rng(7).standard_normal((4, IMG, IMG, 3)).astype(np.float32)
+    probs32 = np.asarray(
+        forward(f32.params, jnp.asarray(x), f32.config, F32_OPTS, classify=True)["probs"]
+    )
+    probs16 = np.asarray(
+        forward(
+            bf16.params, jnp.asarray(x), bf16.config,
+            ModelOptions(parity="hf", compute_dtype=jnp.bfloat16), classify=True,
+        )["probs"]
+    )
+    assert (probs32.argmax(-1) == probs16.argmax(-1)).all()
