@@ -1,0 +1,50 @@
+"""Shared CLI plumbing: flag names mirror the reference's dino_params_parse
+(/root/reference/dinov2.cpp:865-898), with the `-o` bug fixed (quirk Q7: upstream
+`-o` overwrote the input path; here it sets the output path as documented)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-m", "--model", default="./ggml-model-f16.gguf", help="model path (GGUF)")
+    p.add_argument("-i", "--inp", default="assets/tench.jpg", help="input image path")
+    p.add_argument("-o", "--out", default="pca_visual.jpg", help="output image for PCA features")
+    p.add_argument("-k", "--topk", type=int, default=5, help="top-k classes to print")
+    p.add_argument("-s", "--seed", type=int, default=42, help="rng seed")
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="host thread hint (XLA manages device parallelism itself)")
+    p.add_argument("-c", "--classify", action="store_true",
+                   help="classify instead of PCA feature extraction")
+    p.add_argument("-fa", "--flash-attn", action="store_true",
+                   help="use the Pallas flash-attention kernel")
+    p.add_argument("--parity", choices=["reference", "hf"], default="reference",
+                   help="numerics parity target (ggml quirks vs HF semantics)")
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--quant-mode", choices=["dequant", "fused"], default="dequant",
+                   help="quantized checkpoints: dequant at load, or fused Pallas dequant-matmul")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all devices (ICI mesh)")
+
+
+def dtype_of(args) -> object:
+    return {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
+
+
+def load_image_rgb(path: str):
+    """Read an image as RGB uint8 (cv2 reads BGR; quirk Q1 handled here once)."""
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(f"failed to read image: {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def save_image_rgb(path: str, img_rgb) -> None:
+    import cv2
+
+    cv2.imwrite(path, cv2.cvtColor(img_rgb, cv2.COLOR_RGB2BGR))

@@ -1,0 +1,122 @@
+"""`dinov2-realtime` — streaming-frame PCA feature visualization.
+
+Reference: /root/reference/realtime.cpp — webcam frames at a fixed 854x480
+(realtime.h:4-5), per-frame: resize(NEAREST) -> preprocess -> predict -> PCA ->
+hconcat(frame, vis) -> imshow, 'q' quits; the compiled program is reused across
+frames because the shape is constant (there: one warm gallocr; here: one jit
+cache entry).
+
+Extensions for headless TPU hosts: --video FILE streams a video file, --synthetic
+streams generated frames, --frames N bounds the run, --no-display writes
+frames/FPS instead of imshow."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from dinov2_tpu.cli._common import add_common_args, dtype_of, save_image_rgb
+
+WIDTH, HEIGHT = 854, 480  # realtime.h:4-5
+
+
+def _frame_source(args):
+    import cv2
+
+    if args.synthetic:
+        rng = np.random.default_rng(0)
+        t = 0
+        while True:
+            # moving gradient + noise: enough structure for PCA to latch onto
+            yy, xx = np.mgrid[0:HEIGHT, 0:WIDTH]
+            frame = np.stack(
+                [
+                    ((xx + 5 * t) % 256),
+                    ((yy + 3 * t) % 256),
+                    ((xx + yy + 2 * t) % 256),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            frame = np.clip(
+                frame.astype(np.int16) + rng.integers(-8, 8, frame.shape), 0, 255
+            ).astype(np.uint8)
+            t += 1
+            yield frame
+    else:
+        src = args.video if args.video else int(args.camera_id)
+        cap = cv2.VideoCapture(src)
+        if not cap.isOpened():
+            raise RuntimeError(f"failed to open capture source {src!r}")
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                return
+            frame = cv2.resize(frame, (WIDTH, HEIGHT), interpolation=cv2.INTER_NEAREST)
+            yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("-cid", "--camera_id", type=int, default=0)
+    parser.add_argument("--video", default=None, help="stream a video file instead of a camera")
+    parser.add_argument("--synthetic", action="store_true", help="stream generated frames")
+    parser.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = endless)")
+    parser.add_argument("--no-display", action="store_true")
+    parser.add_argument("--save-last", default=None, help="write the final hconcat frame here")
+    args = parser.parse_args(argv)
+
+    from dinov2_tpu.runtime.engine import DinoEngine
+
+    engine = DinoEngine(
+        args.model,
+        dtype=dtype_of(args),
+        quant_mode=args.quant_mode,
+        parity=args.parity,
+        flash_attention=args.flash_attn,
+    )
+
+    display = not args.no_display
+    if display:
+        try:
+            import cv2
+
+            cv2.namedWindow("dinov2-tpu realtime")
+        except Exception:
+            display = False
+
+    last = None
+    n = 0
+    t_start = time.perf_counter()
+    for frame in _frame_source(args):
+        vis = engine.pca_visualization(frame)
+        import cv2
+
+        vis = cv2.resize(vis, (WIDTH, HEIGHT), interpolation=cv2.INTER_NEAREST)
+        combined = np.concatenate([frame, vis], axis=1)
+        last = combined
+        n += 1
+        print(
+            f"frame {n}: graph computation took {engine.last_compute_ms:.2f} ms",
+            file=sys.stderr,
+        )
+        if display:
+            cv2.imshow("dinov2-tpu realtime", cv2.cvtColor(combined, cv2.COLOR_RGB2BGR))
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+        if args.frames and n >= args.frames:
+            break
+
+    dt = time.perf_counter() - t_start
+    if n:
+        print(f"{n} frames in {dt:.2f}s = {n / dt:.2f} FPS", file=sys.stderr)
+    if args.save_last and last is not None:
+        save_image_rgb(args.save_last, last)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,53 @@
+"""PCA feature visualization (reference: cv::PCA path, /root/reference/inference.cpp:76-99).
+
+The reference computes a 3-component PCA over patch tokens (rows = patches),
+projects, min-max normalizes the WHOLE projected matrix to u8 (global, not
+per-component — NORM_MINMAX over all elements), reshapes to the patch grid as a
+3-channel image, and nearest-upscales to the input size.
+
+Eigenvector sign is arbitrary (quirk Q11); we canonicalize each component so its
+largest-magnitude loading is positive, making output deterministic across runs.
+Everything runs on device in f32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dinov2_tpu.image.resize import resize_nearest
+
+
+def pca_project(patch_tokens: jnp.ndarray, n_components: int = 3) -> jnp.ndarray:
+    """(N, D) -> (N, n_components) PCA projection with sign canonicalization."""
+    x = patch_tokens.astype(jnp.float32)
+    mean = x.mean(axis=0, keepdims=True)
+    xc = x - mean
+    cov = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32)
+    eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
+    comps = eigvecs[:, -n_components:][:, ::-1]  # (D, k), top-k first
+    # canonical sign: largest-|loading| entry of each component is positive
+    idx = jnp.argmax(jnp.abs(comps), axis=0)
+    signs = jnp.sign(comps[idx, jnp.arange(n_components)])
+    comps = comps * signs
+    return jnp.dot(xc, comps, preferred_element_type=jnp.float32)
+
+
+def pca_to_u8_grid(projected: jnp.ndarray, grid_hw: tuple[int, int]) -> jnp.ndarray:
+    """(N, 3) -> (h, w, 3) uint8 via global min-max normalization (NORM_MINMAX)."""
+    h, w = grid_hw
+    lo = projected.min()
+    hi = projected.max()
+    scaled = (projected - lo) / jnp.maximum(hi - lo, 1e-12) * 255.0
+    # cv::normalize to CV_8U rounds to nearest
+    u8 = jnp.clip(jnp.round(scaled), 0, 255).astype(jnp.uint8)
+    return u8.reshape(h, w, 3)
+
+
+def pca_visualization(
+    patch_tokens: jnp.ndarray, grid_hw: tuple[int, int], out_hw: tuple[int, int]
+) -> jnp.ndarray:
+    """Full reference post-processing: project -> u8 grid -> nearest upscale."""
+    proj = pca_project(patch_tokens, 3)
+    grid = pca_to_u8_grid(proj, grid_hw)
+    return resize_nearest(grid, out_hw[0], out_hw[1])

@@ -156,10 +156,7 @@ def forward_head(
     else:
         pooled = patch.mean(axis=1)
     feats = jnp.concatenate([cls, pooled], axis=-1)
-    logits = jnp.dot(
-        feats, params["classifier"]["kernel"], preferred_element_type=jnp.float32
-    )
-    logits = logits + params["classifier"]["bias"]
+    logits = apply_linear(feats, params["classifier"]).astype(jnp.float32)
     return jax.nn.softmax(logits, axis=-1)
 
 

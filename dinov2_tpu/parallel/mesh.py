@@ -1,0 +1,98 @@
+"""Device-mesh and sharding helpers (pjit/NamedSharding based scale-out).
+
+The reference is strictly single-device (SURVEY.md §2.3: no DP/TP/PP/SP anywhere);
+on TPU the natural scale-out axis for inference is batch data-parallelism over the
+ICI mesh, with optional tensor-parallel weight sharding for latency on the giant
+model. XLA inserts the collectives from sharding annotations — no hand-written
+NCCL/MPI analogs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
+    """Build a mesh. Default: 1-D 'data' mesh over all local devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if axes is None:
+        axes = {"data": len(devices)}
+    names = tuple(axes.keys())
+    shape = tuple(axes.values())
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh {axes} does not match {len(devices)} devices")
+    dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, names)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(x: jnp.ndarray, mesh: Mesh, axis: str = "data") -> jnp.ndarray:
+    """Shard the leading (batch) axis across the mesh."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> tuple[np.ndarray, int]:
+    """Pad axis 0 up to a multiple (for even sharding); returns (padded, original_n)."""
+    n = x.shape[axis]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - n)
+    return np.pad(x, pad, mode="edge"), n
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel param shardings (Megatron-style column/row split per block)
+# ---------------------------------------------------------------------------
+
+
+def param_pspecs(params: Any, model_axis: str = "model") -> Any:
+    """PartitionSpecs for the DINOv2 param pytree: qkv/fc1/win are column-split
+    (out features on `model_axis`), proj/fc2/wout are row-split (in features),
+    so each attention/MLP block needs exactly one psum on its output.
+
+    Kernels are stored (in, out) — see models/params.py — and layer-stacked with a
+    leading layer axis, hence the leading None in layer specs.
+    """
+
+    col = P(None, None, model_axis)  # (L, in, out): split out
+    row = P(None, model_axis, None)  # (L, in, out): split in
+    col_bias = P(None, model_axis)  # (L, out)
+
+    def spec_for(path: tuple, leaf) -> P:
+        keys = [getattr(p, "key", None) for p in path]
+        if "layers" in keys:
+            if "qkv" in keys or "fc1" in keys or "win" in keys:
+                if keys[-1] == "kernel":
+                    return col
+                if keys[-1] == "bias":
+                    return col_bias
+            if "proj" in keys or "fc2" in keys or "wout" in keys:
+                if keys[-1] == "kernel":
+                    return row
+                return P()  # bias added after the psum, replicated
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params: Any, mesh: Mesh, tensor_parallel: bool = False) -> Any:
+    """Place params on the mesh: replicated, or TP-sharded when requested."""
+    if not tensor_parallel or "model" not in mesh.axis_names:
+        return replicate(params, mesh)
+    specs = param_pspecs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

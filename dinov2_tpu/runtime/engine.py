@@ -1,0 +1,159 @@
+"""Inference engine: load -> jit -> predict (the TPU-native `dino_predict`).
+
+Reference behavior being reproduced (/root/reference/dinov2.cpp:900-999 and
+inference.cpp): per-image classify (top-k over softmax probs) and feature
+extraction (patch tokens -> PCA visualization), with the preprocessing modes and
+quirks of SURVEY.md. Differences by design:
+
+  - batch-first: predict() takes any number of images; same-sized images compile
+    to ONE program and run as one batched MXU-bound forward (the reference loops
+    one image at a time on CPU threads).
+  - jit caching: programs are cached per (batch bucket, image grid); batch sizes
+    are bucketed to powers of two to bound recompilation.
+  - optional data-parallel sharding over a device mesh ('data' axis); params are
+    replicated once at load.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dinov2_tpu.image.pca import pca_visualization
+from dinov2_tpu.image.preprocess import classify_preprocess, feature_preprocess
+from dinov2_tpu.models.params import load_params
+from dinov2_tpu.models.vit import ModelOptions, forward
+from dinov2_tpu.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from dinov2_tpu.utils.logging import get_logger, log_model_banner
+from dinov2_tpu.utils.timing import time_blocked
+
+
+def _bucket(n: int) -> int:
+    """Round batch up to a power of two (1,2,4,...) to bound jit cache size."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class DinoEngine:
+    def __init__(
+        self,
+        model_path: str | Path,
+        dtype=jnp.bfloat16,
+        quant_mode: str = "dequant",
+        parity: str = "reference",
+        flash_attention: bool = False,
+        data_parallel: bool = False,
+    ):
+        self.loaded = load_params(model_path, dtype=dtype, quant_mode=quant_mode)
+        self.config = self.loaded.config
+        self.id2label = self.loaded.id2label
+        self.opts = ModelOptions(
+            parity=parity, flash_attention=flash_attention, compute_dtype=dtype
+        )
+        self.mesh = None
+        self.params = self.loaded.params
+        if data_parallel and len(jax.devices()) > 1:
+            self.mesh = make_mesh()
+            self.params = replicate(self.params, self.mesh)
+        log_model_banner(self.config, str(model_path))
+        self.last_compute_ms = 0.0
+
+    # ------------------------------------------------------------------
+    def _stack_batch(self, images: Sequence[np.ndarray] | np.ndarray) -> np.ndarray:
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = images[None]
+        batch = np.stack(list(images), axis=0)
+        if batch.ndim != 4 or batch.shape[-1] != 3:
+            raise ValueError("expected RGB images (B, H, W, 3)")
+        return batch
+
+    def _device_batch(self, batch: np.ndarray) -> tuple[jnp.ndarray, int]:
+        n = batch.shape[0]
+        bucket = _bucket(n)
+        if self.mesh is not None:
+            ndev = self.mesh.devices.size
+            bucket = max(bucket, ndev)
+            bucket = -(-bucket // ndev) * ndev
+        if bucket != n:
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], bucket - n, axis=0)], axis=0
+            )
+        x = jnp.asarray(batch)
+        if self.mesh is not None:
+            x = shard_batch(x, self.mesh)
+        return x, n
+
+    # ------------------------------------------------------------------
+    def classify(
+        self, images: Sequence[np.ndarray] | np.ndarray, topk: int = 5
+    ) -> list[list[tuple[str, float]]]:
+        """RGB uint8 images (same size) -> per-image top-k (label, prob)."""
+        probs = self.classify_probs(images)
+        out = []
+        for row in probs:
+            idx = np.argsort(row)[::-1][:topk]
+            out.append([(self.id2label.get(int(i), str(int(i))), float(row[i])) for i in idx])
+        return out
+
+    def classify_probs(self, images) -> np.ndarray:
+        if not self.loaded.has_classifier:
+            raise ValueError("checkpoint has no classifier head")
+        batch = self._stack_batch(images)
+        x, n = self._device_batch(batch)
+
+        def run(x):
+            pre = classify_preprocess(x)
+            return forward(self.params, pre, self.config, self.opts, classify=True)
+
+        out, ms = time_blocked(run, x)
+        self.last_compute_ms = ms
+        return np.asarray(out["probs"])[:n]
+
+    # ------------------------------------------------------------------
+    def extract_features(self, images) -> dict[str, Any]:
+        """Feature mode: preprocess (patch-multiple resize), forward, return
+        cls_token (B, D), patch_tokens (B, N, D) and the patch grid."""
+        batch = self._stack_batch(images)
+        x, n = self._device_batch(batch)
+        p = self.config.patch_size
+        h, w = batch.shape[1], batch.shape[2]
+
+        def run(x):
+            pre = feature_preprocess(x, p)
+            return forward(self.params, pre, self.config, self.opts, classify=False)
+
+        out, ms = time_blocked(run, x)
+        self.last_compute_ms = ms
+        gh, gw = (h // p + 1), (w // p + 1)  # quirk Q4 target grid
+        return {
+            "cls_token": np.asarray(out["cls_token"])[:n],
+            "patch_tokens": np.asarray(out["patch_tokens"])[:n],
+            "grid": (gh, gw),
+        }
+
+    # ------------------------------------------------------------------
+    def pca_visualization(self, image: np.ndarray) -> np.ndarray:
+        """One RGB image -> uint8 PCA visualization at the preprocessed size
+        (reference upscales the patch grid with INTER_NEAREST to the model input
+        size, inference.cpp:95-97)."""
+        feats = self.extract_features(image[None] if image.ndim == 3 else image)
+        gh, gw = feats["grid"]
+        tokens = jnp.asarray(feats["patch_tokens"][0])
+        p = self.config.patch_size
+        vis = pca_visualization(tokens, (gh, gw), (gh * p, gw * p))
+        return np.asarray(vis)
+
+    # ------------------------------------------------------------------
+    def warmup(self, image_hw: tuple[int, int], batch: int = 1, classify: bool = True):
+        """Compile ahead of time for a given input size."""
+        dummy = np.zeros((batch, *image_hw, 3), dtype=np.uint8)
+        if classify and self.loaded.has_classifier:
+            self.classify_probs(dummy)
+        else:
+            self.extract_features(dummy)

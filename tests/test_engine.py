@@ -1,0 +1,121 @@
+"""Engine + quantizer + PCA integration tests on synthetic checkpoints."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dinov2_tpu.io.gguf import GGMLType, GGUFReader
+from dinov2_tpu.io.synthetic import write_synthetic_gguf
+from dinov2_tpu.models.config import DinoConfig
+from dinov2_tpu.quant.quantize import do_quantize, quantize_gguf
+from dinov2_tpu.runtime.engine import DinoEngine
+
+TINY = DinoConfig(
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    num_classes=4,
+    patch_size=14,
+    img_size=70,  # model grid 5x5
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_gguf(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt") / "tiny.gguf"
+    return write_synthetic_gguf(path, TINY, seed=3)
+
+
+def test_engine_classify(tiny_gguf, rng):
+    engine = DinoEngine(tiny_gguf, dtype=jnp.float32)
+    imgs = rng.integers(0, 256, (3, 100, 120, 3), dtype=np.uint8)
+    results = engine.classify(imgs, topk=2)
+    assert len(results) == 3 and len(results[0]) == 2
+    label, prob = results[0][0]
+    assert label.startswith("class_") and 0 <= prob <= 1
+    probs = engine.classify_probs(imgs)
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
+    # batched result equals single-image result
+    single = engine.classify_probs(imgs[0])
+    np.testing.assert_allclose(single[0], probs[0], rtol=1e-5, atol=1e-6)
+
+
+def test_engine_features_and_pca(tiny_gguf, rng):
+    engine = DinoEngine(tiny_gguf, dtype=jnp.float32)
+    img = rng.integers(0, 256, (100, 120, 3), dtype=np.uint8)
+    feats = engine.extract_features(img)
+    gh, gw = feats["grid"]
+    assert (gh, gw) == (100 // 14 + 1, 120 // 14 + 1)  # quirk Q4
+    assert feats["patch_tokens"].shape == (1, gh * gw, TINY.hidden_size)
+    assert feats["cls_token"].shape == (1, TINY.hidden_size)
+
+    vis = engine.pca_visualization(img)
+    assert vis.dtype == np.uint8
+    assert vis.shape == (gh * 14, gw * 14, 3)
+    assert vis.min() == 0 and vis.max() == 255  # min-max normalized
+
+
+def test_do_quantize_rule():
+    # quirk Q10: only 2D `.*weight` tensors quantize
+    assert do_quantize("encoder.layer.0.mlp.fc1.weight", (64, 64))
+    assert not do_quantize("encoder.layer.0.mlp.fc1.bias", (64,))
+    assert not do_quantize("embeddings.patch_embeddings.projection.weight", (4, 3, 2, 2))
+    assert not do_quantize("embeddings.position_embeddings", (1, 26, 64))
+    assert do_quantize("classifier.weight", (4, 128))
+
+
+@pytest.mark.parametrize("qtype", ["q4_0", "q5_1", "q8_0"])
+def test_quantize_roundtrip_and_inference(tiny_gguf, tmp_path, qtype, rng):
+    qpath = tmp_path / f"tiny-{qtype}.gguf"
+    quantize_gguf(tiny_gguf, qpath, qtype)
+
+    r = GGUFReader(qpath)
+    expect_t = {"q4_0": GGMLType.Q4_0, "q5_1": GGMLType.Q5_1, "q8_0": GGMLType.Q8_0}[qtype]
+    assert GGMLType(r.kv["ftype"]) == expect_t
+    assert r.tensors["encoder.layer.0.mlp.fc1.weight"].ggml_type == expect_t
+    assert r.tensors["encoder.layer.0.mlp.fc1.bias"].ggml_type == GGMLType.F32
+    assert (
+        r.tensors["embeddings.patch_embeddings.projection.weight"].ggml_type
+        == GGMLType.F16
+    )
+    r.close()
+
+    img = rng.integers(0, 256, (1, 70, 70, 3), dtype=np.uint8)
+    ref = DinoEngine(tiny_gguf, dtype=jnp.float32).classify_probs(img)
+    quant = DinoEngine(qpath, dtype=jnp.float32).classify_probs(img)
+    # quantized probs should stay close on a tiny random model
+    assert np.abs(quant - ref).max() < 0.15
+    assert quant.argmax(-1) == ref.argmax(-1)
+
+
+def test_fused_quant_mode_matches_dequant(tiny_gguf, tmp_path, rng):
+    """quant_mode='fused' (on-device unpack path) must agree with eager dequant."""
+    qpath = tmp_path / "tiny-q4.gguf"
+    quantize_gguf(tiny_gguf, qpath, "q4_0")
+    img = rng.integers(0, 256, (2, 70, 70, 3), dtype=np.uint8)
+    a = DinoEngine(qpath, dtype=jnp.float32, quant_mode="dequant").classify_probs(img)
+    b = DinoEngine(qpath, dtype=jnp.float32, quant_mode="fused").classify_probs(img)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_registers_and_swiglu_synthetic(tmp_path, rng):
+    cfg = DinoConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_classes=0,
+        num_register_tokens=4,
+        patch_size=14,
+        img_size=70,
+        use_swiglu_ffn=True,
+    )
+    path = write_synthetic_gguf(tmp_path / "reg.gguf", cfg, seed=5)
+    engine = DinoEngine(path, dtype=jnp.float32)
+    assert engine.config.num_register_tokens == 4
+    assert engine.config.swiglu
+    img = rng.integers(0, 256, (84, 84, 3), dtype=np.uint8)
+    feats = engine.extract_features(img)
+    gh, gw = feats["grid"]
+    # registers are dropped from feature-mode patch tokens (quirk Q5)
+    assert feats["patch_tokens"].shape == (1, gh * gw, 64)
