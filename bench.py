@@ -1,0 +1,86 @@
+"""Driver benchmark: ViT-B/14 batched classification throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "img/s", "vs_baseline": N}
+
+Baseline: the reference dinov2.cpp runs ViT-B/14 fp16 at 200 ms/image on a
+24-thread i9-14900HX (BASELINE.md) = 5 img/s. vs_baseline = ours / 5.
+
+Methodology mirrors the reference's timed region (forward compute only, device-
+synchronized; preprocessing excluded there, excluded here): steady-state over
+``ITERS`` batched forwards after warmup, batch 64 @ 224px, bf16, real weights
+layout via the synthetic GGUF path (per-op speed is weight-value independent).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BATCH = 64
+ITERS = 20
+BASELINE_IMG_S = 5.0  # 200 ms/image, BASELINE.md ViT-B/14 fp16
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dinov2_tpu.models.config import PRESETS, DinoConfig
+    from dinov2_tpu.models.params import init_params
+    from dinov2_tpu.models.vit import ModelOptions, forward
+
+    base = PRESETS["base"]
+    config = DinoConfig(**{**base.__dict__, "num_classes": 1000})
+    params = init_params(config, seed=0, dtype=jnp.bfloat16)
+    opts = ModelOptions(
+        parity="reference",
+        compute_dtype=jnp.bfloat16,
+        flash_attention=jax.default_backend() == "tpu",
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, 224, 224, 3)), dtype=jnp.float32)
+
+    def run(x):
+        return forward(params, x, config, opts, classify=True)["probs"]
+
+    # warmup / compile
+    try:
+        jax.block_until_ready(run(x))
+    except Exception:
+        # flash path unavailable (e.g. CPU run): fall back to vanilla attention
+        opts = ModelOptions(parity="reference", compute_dtype=jnp.bfloat16)
+
+        def run(x):  # noqa: F811
+            return forward(params, x, config, opts, classify=True)["probs"]
+
+        jax.block_until_ready(run(x))
+
+    start = time.perf_counter()
+    out = None
+    for _ in range(ITERS):
+        out = run(x)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    img_s = BATCH * ITERS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "ViT-B/14 batched classification throughput (1 chip)",
+                "value": round(img_s, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_s / BASELINE_IMG_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,57 +36,48 @@ jax.tree_util.register_pytree_node.__doc__  # keep linters quiet about jax impor
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QuantLinear:
-    """A packed ggml-quantized linear weight, layout structure-of-arrays.
+    """A ggml-quantized linear weight in TPU-kernel layout (structure-of-arrays).
 
-    qs: (out, in//2) uint8 packed nibbles (or (out, in) int8 for q8_0)
-    d:  (out, in//32) float32 per-block scales
-    m:  (out, in//32) float32 per-block mins (q4_1/q5_1) or None
-    qh: (out, in//32) uint32 5th-bit planes (q5_0/q5_1) or None
+    codes: (out, in) int8 quantized codes, zero-point pre-subtracted for the
+           symmetric formats, so dequant is `codes*d` (q4_0/q5_0/q8_0) or
+           `codes*d + m` (q4_1/q5_1)
+    d:     (out, in//32) float32 per-block scales
+    m:     (out, in//32) float32 per-block mins or None
+
+    The nibble/5th-bit unpack happens once on the host at load
+    (quant/blocks.py::unpack_codes); device memory is ~1.1 B/weight vs 2 for
+    bf16. Keeping the original 4/5-bit packing in HBM and unpacking in-kernel is
+    a further memory optimization left for a later round.
     """
 
-    qs: jnp.ndarray
+    codes: jnp.ndarray
     d: jnp.ndarray
     m: jnp.ndarray | None
-    qh: jnp.ndarray | None
     ggml_type: int  # static
     shape: tuple[int, int]  # static (out, in)
 
     def tree_flatten(self):
-        children = (self.qs, self.d, self.m, self.qh)
+        children = (self.codes, self.d, self.m)
         aux = (self.ggml_type, self.shape)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        qs, d, m, qh = children
-        return cls(qs=qs, d=d, m=m, qh=qh, ggml_type=aux[0], shape=aux[1])
+        codes, d, m = children
+        return cls(codes=codes, d=d, m=m, ggml_type=aux[0], shape=aux[1])
 
 
 def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
-    from dinov2_tpu.quant.blocks import block_dtype
+    from dinov2_tpu.quant.blocks import unpack_codes
 
     out_dim, in_dim = t.shape
-    blocks = t.data.view(np.uint8).view(block_dtype(GGMLType(t.ggml_type)))
-    nb = in_dim // 32
-    blocks = blocks.reshape(out_dim, nb)
-    d = jnp.asarray(blocks["d"].astype(np.float32))
-    m = (
-        jnp.asarray(blocks["m"].astype(np.float32))
-        if "m" in blocks.dtype.names
-        else None
-    )
-    qh = (
-        jnp.asarray(blocks["qh"].astype(np.uint32))
-        if "qh" in blocks.dtype.names
-        else None
-    )
-    qs_field = blocks["qs"]
-    if t.ggml_type == GGMLType.Q8_0:
-        qs = jnp.asarray(qs_field.reshape(out_dim, in_dim).view(np.int8))
-    else:
-        qs = jnp.asarray(qs_field.reshape(out_dim, in_dim // 2))
+    codes, d, m = unpack_codes(t.data, GGMLType(t.ggml_type), t.shape)
     return QuantLinear(
-        qs=qs, d=d, m=m, qh=qh, ggml_type=int(t.ggml_type), shape=(out_dim, in_dim)
+        codes=jnp.asarray(codes),
+        d=jnp.asarray(d),
+        m=jnp.asarray(m) if m is not None else None,
+        ggml_type=int(t.ggml_type),
+        shape=(out_dim, in_dim),
     )
 
 
@@ -122,6 +113,68 @@ def _linear(
 def _stack(dicts: list[dict[str, Any]]) -> dict[str, Any]:
     """Stack a list of identically-structured pytrees along a new leading axis."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *dicts)
+
+
+def init_params(
+    config: DinoConfig, seed: int = 0, dtype=jnp.bfloat16, scale: float = 0.02
+) -> dict[str, Any]:
+    """Random-init a parameter pytree with the exact load_params structure
+    (used by benchmarks, the graft entry, and training-from-scratch; per-op speed
+    does not depend on weight values)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    d = config.hidden_size
+    p = config.patch_size
+    inter = int(d * config.mlp_ratio)
+    sh = config.swiglu_hidden or (-(-int(d * 4 * 2 / 3) // 8) * 8)
+    n_pos = config.num_model_patches + 1
+
+    def w(*shape, f32=False):
+        return jnp.asarray(
+            rng.standard_normal(shape) * scale, dtype=jnp.float32 if f32 else dtype
+        )
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype=jnp.float32)
+
+    def zeros(*shape):
+        return jnp.zeros(shape, dtype=jnp.float32)
+
+    params: dict[str, Any] = {
+        "patch_embed": {"kernel": w(p * p * 3, d), "bias": zeros(d)},
+        "cls_token": w(d, f32=True),
+        "pos_embed": w(n_pos, d, f32=True),
+        "final_norm": {"scale": ones(d), "bias": zeros(d)},
+    }
+    if config.num_register_tokens > 0:
+        params["register_tokens"] = w(config.num_register_tokens, d, f32=True)
+
+    def layer(_):
+        mlp = (
+            {"win": {"kernel": w(d, 2 * sh), "bias": zeros(2 * sh)},
+             "wout": {"kernel": w(sh, d), "bias": zeros(d)}}
+            if config.swiglu
+            else {"fc1": {"kernel": w(d, inter), "bias": zeros(inter)},
+                  "fc2": {"kernel": w(inter, d), "bias": zeros(d)}}
+        )
+        return {
+            "norm1": {"scale": ones(d), "bias": zeros(d)},
+            "qkv": {"kernel": w(d, 3 * d), "bias": zeros(3 * d)},
+            "proj": {"kernel": w(d, d), "bias": zeros(d)},
+            "ls1": ones(d),
+            "norm2": {"scale": ones(d), "bias": zeros(d)},
+            "mlp": mlp,
+            "ls2": ones(d),
+        }
+
+    params["layers"] = _stack([layer(i) for i in range(config.num_hidden_layers)])
+    if config.num_classes > 0:
+        params["classifier"] = {
+            "kernel": w(2 * d, config.num_classes),
+            "bias": zeros(config.num_classes),
+        }
+    return params
 
 
 def load_params(

@@ -39,6 +39,7 @@ class ModelOptions:
     parity: str = "reference"  # "reference" replicates ggml quirks; "hf" matches HF
     flash_attention: bool = False
     compute_dtype: Any = jnp.bfloat16
+    remat: bool = False  # rematerialize encoder layers (training memory/FLOPs trade)
 
     @property
     def gelu_approximate(self) -> bool:
@@ -132,6 +133,8 @@ def forward_features(
     def body(carry, layer):
         return encoder_layer(carry, layer, config, opts), None
 
+    if opts.remat:
+        body = jax.checkpoint(body)
     tokens, _ = jax.lax.scan(body, tokens, params["layers"])
     tokens = layer_norm(
         tokens.astype(jnp.float32), params["final_norm"], config.eps
@@ -139,10 +142,10 @@ def forward_features(
     return tokens
 
 
-def forward_head(
+def head_logits(
     params: dict, tokens: jnp.ndarray, config: DinoConfig, opts: ModelOptions
 ) -> jnp.ndarray:
-    """Final tokens -> class probabilities (B, num_classes), f32.
+    """Final tokens -> classifier logits (B, num_classes), f32.
 
     Classify-mode pooling includes register tokens (quirk Q5) and, in reference
     parity mode, divides by the model-grid patch count n_img_embd² rather than the
@@ -156,8 +159,15 @@ def forward_head(
     else:
         pooled = patch.mean(axis=1)
     feats = jnp.concatenate([cls, pooled], axis=-1)
-    logits = apply_linear(feats, params["classifier"]).astype(jnp.float32)
-    return jax.nn.softmax(logits, axis=-1)
+    return apply_linear(feats, params["classifier"]).astype(jnp.float32)
+
+
+def forward_head(
+    params: dict, tokens: jnp.ndarray, config: DinoConfig, opts: ModelOptions
+) -> jnp.ndarray:
+    """Final tokens -> class probabilities (softmax over head_logits,
+    dinov2.cpp:815)."""
+    return jax.nn.softmax(head_logits(params, tokens, config, opts), axis=-1)
 
 
 @partial(jax.jit, static_argnames=("config", "opts", "classify"))

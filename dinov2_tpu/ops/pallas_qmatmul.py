@@ -1,0 +1,140 @@
+"""Pallas fused dequant-matmul: y = x @ Wᵀ with W as int8 codes + block scales.
+
+The TPU analog of ggml's quantized matmul kernels (SURVEY.md C23): the weight
+stays quantized in HBM; each grid step DMAs an int8 code tile + its f32 scales
+into VMEM, dequantizes in-register (codes*d (+m), block size 32 along the
+contraction axis), and feeds the MXU — the dense bf16 weight never exists in
+HBM.
+
+Layout notes (see quant/blocks.py::unpack_codes): codes are (out, in) int8 with
+zero-points pre-subtracted, scales (out, in/32) f32. The scale broadcast uses
+pltpu.repeat along the lane axis.
+
+Grid: (M/bm, N/bn); the full contraction K rides inside one program (DINOv2 K ≤
+~8k → an int8 (bn, K) tile is ≤ 2 MB, well inside VMEM), so there is no
+accumulator carry between grid steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QK = 32
+
+
+def _expand_scales(d: jnp.ndarray) -> jnp.ndarray:
+    """(bn, K/32) per-block scales -> (bn, K) lane-aligned broadcast.
+    jnp.repeat (elementwise; NOT pltpu.repeat, which tiles the whole array)."""
+    return jnp.repeat(d, QK, axis=1)
+
+
+def _kernel_sym(x_ref, codes_ref, d_ref, o_ref):
+    x = x_ref[:]  # (bm, K)
+    w = codes_ref[:].astype(jnp.bfloat16)  # (bn, K)
+    d = d_ref[:].astype(jnp.bfloat16)  # (bn, K//32)
+    w = w * _expand_scales(d)
+    o_ref[:] = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _kernel_affine(x_ref, codes_ref, d_ref, m_ref, o_ref):
+    # affine formats (q4_1/q5_1): w = codes*d + m. Rather than materializing m
+    # into the weight tile, use linearity: x @ (C*D + M)ᵀ = x @ (C*D)ᵀ + x @ Mᵀ,
+    # and x @ Mᵀ = (x-blocksum) — computed exactly as sum_block(x) · mᵀ.
+    x = x_ref[:]  # (bm, K)
+    w = codes_ref[:].astype(jnp.bfloat16)
+    d = d_ref[:].astype(jnp.bfloat16)
+    w = w * _expand_scales(d)
+    acc = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    bm, k = x.shape
+    xs = x.astype(jnp.float32).reshape(bm, k // QK, QK).sum(axis=-1)  # (bm, K/32)
+    acc = acc + jax.lax.dot_general(
+        xs.astype(jnp.bfloat16),
+        m_ref[:].astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def quant_matmul_pallas(
+    x: jnp.ndarray,
+    ql,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """x (..., K) @ QuantLinear(out=N, in=K)ᵀ -> (..., N)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n, k = ql.shape
+    lead = x.shape[:-1]
+    m = 1
+    for s in lead:
+        m *= s
+    x2 = x.reshape(m, k)
+
+    mp = _round_up(m, 8)
+    np_ = _round_up(n, 128)
+    bm = min(block_m, mp)
+    while mp % bm:
+        bm //= 2
+    bn = min(block_n, np_)
+    while np_ % bn:
+        bn //= 2
+
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    codes, d, mm = ql.codes, ql.d, ql.m
+    if np_ != n:
+        codes = jnp.pad(codes, ((0, np_ - n), (0, 0)))
+        d = jnp.pad(d, ((0, np_ - n), (0, 0)))
+        if mm is not None:
+            mm = jnp.pad(mm, ((0, np_ - n), (0, 0)))
+
+    grid = (mp // bm, np_ // bn)
+    nb = k // QK
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, nb), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x2, codes, d]
+    kernel = _kernel_sym
+    if mm is not None:
+        in_specs.append(
+            pl.BlockSpec((bn, nb), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(mm)
+        kernel = _kernel_affine
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=mp * k * x.dtype.itemsize + np_ * k + np_ * nb * 4,
+            transcendentals=0,
+        ),
+    )(*operands)
+
+    return out[:m, :n].reshape(*lead, n)

@@ -22,38 +22,14 @@ from dinov2_tpu.io.gguf import GGMLType
 
 
 def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Decode a QuantLinear's packed blocks to a dense (out, in) weight on device."""
+    """Decode a QuantLinear (int8 codes + per-block scales) to a dense (out, in)
+    weight on device: w = codes*d (+ m for the min/offset formats)."""
     out_dim, in_dim = ql.shape
     nb = in_dim // 32
-    t = GGMLType(ql.ggml_type)
-
-    if t == GGMLType.Q8_0:
-        q = ql.qs.astype(jnp.float32).reshape(out_dim, nb, 32)
-        w = q * ql.d[..., None]
-        return w.reshape(out_dim, in_dim).astype(dtype)
-
-    # nibble formats: qs is (out, in//2) packed as [block j: lo nibbles = elems 0..15,
-    # hi nibbles = elems 16..31]
-    qs = ql.qs.reshape(out_dim, nb, 16)
-    lo = (qs & 0xF).astype(jnp.int32)
-    hi = (qs >> 4).astype(jnp.int32)
-    q = jnp.concatenate([lo, hi], axis=-1)  # (out, nb, 32)
-
-    if t in (GGMLType.Q5_0, GGMLType.Q5_1):
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bits = ((ql.qh[..., None] >> shifts) & 1).astype(jnp.int32)  # (out, nb, 32)
-        q = q | (bits << 4)
-
-    if t == GGMLType.Q4_0:
-        w = (q - 8).astype(jnp.float32) * ql.d[..., None]
-    elif t == GGMLType.Q4_1:
-        w = q.astype(jnp.float32) * ql.d[..., None] + ql.m[..., None]
-    elif t == GGMLType.Q5_0:
-        w = (q - 16).astype(jnp.float32) * ql.d[..., None]
-    elif t == GGMLType.Q5_1:
-        w = q.astype(jnp.float32) * ql.d[..., None] + ql.m[..., None]
-    else:
-        raise ValueError(f"unsupported quant type {t}")
+    q = ql.codes.astype(jnp.float32).reshape(out_dim, nb, 32)
+    w = q * ql.d[..., None]
+    if ql.m is not None:
+        w = w + ql.m[..., None]
     return w.reshape(out_dim, in_dim).astype(dtype)
 
 

@@ -170,6 +170,45 @@ def dequantize(
     return x.astype(np.float32).reshape(shape)
 
 
+def unpack_codes(
+    raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Decode raw blocks into a TPU-kernel-friendly structure-of-arrays:
+
+      codes: int8 (rows, cols) — zero-point already subtracted for q4_0/q5_0
+             (so dequant is `codes * d` or `codes * d + m`)
+      d:     float32 (rows, cols//32) per-block scales
+      m:     float32 per-block mins for q4_1/q5_1, else None
+
+    Rationale: TPU vector memory is byte-addressable; unpacking 4/5-bit nibbles
+    once on the host lets the Pallas dequant-matmul read int8 tiles directly and
+    fuse only the multiply-by-scale into the MXU feed (see ops/pallas_qmatmul.py).
+    """
+    rows, cols = int(np.prod(shape[:-1], dtype=np.int64)), shape[-1]
+    nb = cols // QK
+    blocks = raw.view(np.uint8).view(_BLOCK_DTYPES[ggml_type]).reshape(rows, nb)
+    d = blocks["d"].astype(np.float32)
+    m = blocks["m"].astype(np.float32) if "m" in blocks.dtype.names else None
+
+    if ggml_type == GGMLType.Q8_0:
+        codes = blocks["qs"].view(np.int8).reshape(rows, cols)
+        return codes, d, None
+
+    qs = blocks["qs"]  # (rows, nb, 16)
+    lo = (qs & 0xF).astype(np.int16)
+    hi = (qs >> 4).astype(np.int16)
+    q = np.concatenate([lo, hi], axis=-1)  # (rows, nb, 32)
+    if ggml_type in (GGMLType.Q5_0, GGMLType.Q5_1):
+        shifts = np.arange(QK, dtype=np.uint32)
+        bits = ((blocks["qh"][..., None].astype(np.uint64) >> shifts) & 1).astype(np.int16)
+        q = q | (bits << 4)
+    zero = {GGMLType.Q4_0: 8, GGMLType.Q4_1: 0, GGMLType.Q5_0: 16, GGMLType.Q5_1: 0}[
+        GGMLType(ggml_type)
+    ]
+    codes = (q - zero).astype(np.int8).reshape(rows, cols)
+    return codes, d, m
+
+
 def validate_quantized(raw: np.ndarray, ggml_type: GGMLType) -> bool:
     """Equivalent of ggml_validate_row_data: scales/mins must be finite fp16."""
     blocks = raw.view(np.uint8).view(_BLOCK_DTYPES[ggml_type])

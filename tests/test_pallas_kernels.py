@@ -1,0 +1,78 @@
+"""Pallas kernel numerics tests (interpret mode on the CPU backend).
+
+Oracles: the vanilla einsum attention and the XLA dequant-matmul path.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dinov2_tpu.io.gguf import GGMLType
+from dinov2_tpu.models.params import QuantLinear
+from dinov2_tpu.ops.attention import vanilla_attention
+from dinov2_tpu.ops.flash_attention import flash_attention
+from dinov2_tpu.ops.pallas_qmatmul import quant_matmul_pallas
+from dinov2_tpu.ops.qmatmul import dequant_weight
+from dinov2_tpu.quant.blocks import quantize, unpack_codes
+
+
+@pytest.mark.parametrize("t,heads", [(257, 2), (100, 3)])
+def test_flash_matches_vanilla_f32(t, heads, rng):
+    b, hd = 2, 32
+    q = jnp.asarray(rng.standard_normal((b, t, heads, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, heads, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, heads, hd)), jnp.float32)
+    scale = 1.0 / hd**0.5
+    want = np.asarray(vanilla_attention(q, k, v, scale))
+    got = np.asarray(flash_attention(q, k, v, scale, block_q=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_flash_bf16_close_to_f32(rng):
+    b, t, h, hd = 1, 130, 2, 64
+    qkv = [rng.standard_normal((b, t, h, hd)).astype(np.float32) for _ in range(3)]
+    scale = 1.0 / hd**0.5
+    want = np.asarray(
+        vanilla_attention(*[jnp.asarray(a) for a in qkv], scale)
+    )
+    got = np.asarray(
+        flash_attention(
+            *[jnp.asarray(a, jnp.bfloat16) for a in qkv], scale, interpret=True
+        )
+    ).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=0.05)
+
+
+def _make_ql(rng, n, k, t):
+    w = (rng.standard_normal((n, k)) * 0.5).astype(np.float32)
+    raw = quantize(w, t)
+    codes, d, m = unpack_codes(raw, t, (n, k))
+    return QuantLinear(
+        codes=jnp.asarray(codes),
+        d=jnp.asarray(d),
+        m=jnp.asarray(m) if m is not None else None,
+        ggml_type=int(t),
+        shape=(n, k),
+    )
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+                               GGMLType.Q5_1, GGMLType.Q8_0])
+def test_pallas_qmatmul_matches_dequant(t, rng):
+    n, k, m = 160, 128, 24  # n deliberately not a lane multiple (exercises padding)
+    ql = _make_ql(rng, n, k, t)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    want = np.asarray(x @ dequant_weight(ql, jnp.float32).T)
+    got = np.asarray(quant_matmul_pallas(x, ql, block_m=8, block_n=128, interpret=True))
+    # kernel dequantizes in bf16 before the MXU: ~0.4% relative tolerance
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.15)
+
+
+def test_pallas_qmatmul_batched_shape(rng):
+    ql = _make_ql(rng, 128, 64, GGMLType.Q8_0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 64)), jnp.float32)
+    got = quant_matmul_pallas(x, ql, interpret=True)
+    assert got.shape == (2, 5, 128)
+    want = np.asarray(x @ dequant_weight(ql, jnp.float32).T)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=0.15)
