@@ -7,9 +7,11 @@ Baseline: the reference dinov2.cpp runs ViT-B/14 fp16 at 200 ms/image on a
 24-thread i9-14900HX (BASELINE.md) = 5 img/s. vs_baseline = ours / 5.
 
 Methodology mirrors the reference's timed region (forward compute only, device-
-synchronized; preprocessing excluded there, excluded here): steady-state over
-``ITERS`` batched forwards after warmup, batch 64 @ 224px, bf16, real weights
-layout via the synthetic GGUF path (per-op speed is weight-value independent).
+synchronized; preprocessing excluded there, excluded here): ``ITERS`` batched
+forwards run as ONE jitted lax.scan whose carry is data-dependent on each
+iteration's output (loop-invariant hoisting / async-dispatch undercounting are
+both impossible), batch 64 @ 224px, bf16. Weight values don't affect op speed,
+so weights are random with the real ViT-B/14 structure.
 """
 
 from __future__ import annotations
@@ -47,26 +49,31 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, 224, 224, 3)), dtype=jnp.float32)
 
-    def run(x):
-        return forward(params, x, config, opts, classify=True)["probs"]
+    def make_loop(opts):
+        def body(carry, _):
+            probs = forward(params, carry, config, opts, classify=True)["probs"]
+            # thread a tiny data dependence into the next input so XLA cannot
+            # hoist or elide any iteration
+            carry = carry + (1e-8 * jnp.mean(probs)).astype(carry.dtype)
+            return carry, jnp.sum(probs)
 
-    # warmup / compile
+        def loop(x):
+            _, sums = jax.lax.scan(body, x, None, length=ITERS)
+            return sums
+
+        return jax.jit(loop)
+
     try:
-        jax.block_until_ready(run(x))
+        loop = make_loop(opts)
+        jax.block_until_ready(loop(x))  # compile + warmup
     except Exception:
         # flash path unavailable (e.g. CPU run): fall back to vanilla attention
         opts = ModelOptions(parity="reference", compute_dtype=jnp.bfloat16)
-
-        def run(x):  # noqa: F811
-            return forward(params, x, config, opts, classify=True)["probs"]
-
-        jax.block_until_ready(run(x))
+        loop = make_loop(opts)
+        jax.block_until_ready(loop(x))
 
     start = time.perf_counter()
-    out = None
-    for _ in range(ITERS):
-        out = run(x)
-    jax.block_until_ready(out)
+    jax.block_until_ready(loop(x))
     elapsed = time.perf_counter() - start
 
     img_s = BATCH * ITERS / elapsed

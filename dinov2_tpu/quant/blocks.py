@@ -66,6 +66,12 @@ def _pack_nibbles(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
 
 def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
     """Quantize a float array to raw block bytes (uint8, flat)."""
+    from dinov2_tpu.utils import native
+
+    if native.available():
+        out = native.quantize(np.ascontiguousarray(x, dtype=np.float32), int(ggml_type))
+        if out is not None:
+            return out
     blocks = _to_blocks(x)
     n = blocks.shape[0]
     out = np.zeros(n, dtype=_BLOCK_DTYPES[ggml_type])
@@ -136,10 +142,19 @@ def dequantize(
     raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]
 ) -> np.ndarray:
     """Decode raw block bytes back to float32 with the given logical shape."""
+    from dinov2_tpu.utils import native
+
     if ggml_type == GGMLType.F32:
         return raw.view("<f4").reshape(shape).astype(np.float32)
     if ggml_type == GGMLType.F16:
+        if native.available():
+            return native.fp16_to_fp32(raw.view("<f2")).reshape(shape)
         return raw.view("<f2").reshape(shape).astype(np.float32)
+
+    if native.available():
+        out = native.dequantize(raw, int(ggml_type), tuple(shape))
+        if out is not None:
+            return out
 
     blocks = raw.view(np.uint8).view(_BLOCK_DTYPES[ggml_type])
     d = blocks["d"].astype(np.float32)[:, None]
@@ -184,6 +199,13 @@ def unpack_codes(
     once on the host lets the Pallas dequant-matmul read int8 tiles directly and
     fuse only the multiply-by-scale into the MXU feed (see ops/pallas_qmatmul.py).
     """
+    from dinov2_tpu.utils import native
+
+    if native.available():
+        out = native.unpack_codes(raw, int(ggml_type), tuple(shape))
+        if out is not None:
+            return out
+
     rows, cols = int(np.prod(shape[:-1], dtype=np.int64)), shape[-1]
     nb = cols // QK
     blocks = raw.view(np.uint8).view(_BLOCK_DTYPES[ggml_type]).reshape(rows, nb)
