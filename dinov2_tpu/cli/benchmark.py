@@ -1,0 +1,137 @@
+"""`dinov2-benchmark` — throughput/latency sweep with markdown output.
+
+Reference analogs: scripts/benchmark.py (PyTorch baseline, markdown table) and
+scripts/benchmark.sh (per-size, per-quant sweep averaging N runs) in
+/root/reference. Differences by design: measurements run on-device with a
+data-dependent jitted scan (see bench.py methodology), weights come from
+synthetic GGUFs when no checkpoint is given (no network in this environment;
+op speed is weight-value independent), and batch is a swept axis (the TPU wins
+come from batching, SURVEY.md §6 north star).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode):
+    import jax
+    import jax.numpy as jnp
+
+    from dinov2_tpu.models.params import load_params
+    from dinov2_tpu.models.vit import ModelOptions, forward
+
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[dtype_name]
+    loaded = load_params(model_path, dtype=dtype, quant_mode=quant_mode)
+    opts = ModelOptions(
+        parity="reference", compute_dtype=dtype, flash_attention=flash
+    )
+    classify = loaded.has_classifier
+
+    rows = []
+    for batch in batch_sizes:
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((batch, 224, 224, 3)),
+            dtype=jnp.float32,
+        )
+
+        def body(carry, _):
+            out = forward(loaded.params, carry, loaded.config, opts, classify=classify)
+            probe = out["probs"] if classify else out["cls_token"]
+            carry = carry + (1e-8 * jnp.mean(probe)).astype(carry.dtype)
+            return carry, jnp.sum(probe)
+
+        @jax.jit
+        def loop(x):
+            _, sums = jax.lax.scan(body, x, None, length=iters)
+            return sums
+
+        jax.block_until_ready(loop(x))  # compile + warmup
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(x))
+        dt = time.perf_counter() - t0
+        ms_per_batch = dt / iters * 1e3
+        rows.append(
+            {
+                "batch": batch,
+                "ms_per_batch": round(ms_per_batch, 3),
+                "ms_per_image": round(ms_per_batch / batch, 3),
+                "images_per_sec": round(batch * iters / dt, 1),
+            }
+        )
+    return loaded.config, rows
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-m", "--model", default=None, help="GGUF checkpoint to benchmark")
+    p.add_argument("--size", default="base", choices=["small", "base", "large", "giant"],
+                   help="synthetic model size when no checkpoint is given")
+    p.add_argument("--batch-sizes", default="1,8,32,64")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--quant", default=None,
+                   help="also quantize+benchmark: comma list of q4_0,q4_1,q5_0,q5_1,q8_0")
+    p.add_argument("--quant-mode", default="dequant", choices=["dequant", "fused"])
+    p.add_argument("-fa", "--flash-attn", action="store_true")
+    p.add_argument("--json", action="store_true", help="emit JSON instead of markdown")
+    args = p.parse_args(argv)
+
+    import tempfile
+
+    batch_sizes = [int(b) for b in args.batch_sizes.split(",")]
+    tmpdir = Path(tempfile.mkdtemp(prefix="dinov2-bench-"))
+
+    if args.model:
+        model_path = Path(args.model)
+    else:
+        from dinov2_tpu.io.synthetic import write_synthetic_gguf
+        from dinov2_tpu.models.config import PRESETS, DinoConfig
+
+        cfg = PRESETS[args.size]
+        cfg = DinoConfig(**{**cfg.__dict__, "num_classes": 1000})
+        model_path = tmpdir / f"{args.size}.gguf"
+        print(f"writing synthetic {args.size} checkpoint...", file=sys.stderr)
+        write_synthetic_gguf(model_path, cfg)
+
+    variants = [("f16", model_path, "dequant")]
+    if args.quant:
+        from dinov2_tpu.quant.quantize import quantize_gguf
+
+        for q in args.quant.split(","):
+            qpath = tmpdir / f"{model_path.stem}-{q}.gguf"
+            print(f"quantizing {q}...", file=sys.stderr)
+            quantize_gguf(model_path, qpath, q.strip())
+            variants.append((q, qpath, args.quant_mode))
+
+    results = {}
+    for name, path, qmode in variants:
+        print(f"benchmarking {name}...", file=sys.stderr)
+        _, rows = _bench_model(
+            path, batch_sizes, args.iters, args.dtype, args.flash_attn, qmode
+        )
+        results[name] = rows
+
+    if args.json:
+        print(json.dumps(results, indent=2))
+    else:
+        for name, rows in results.items():
+            print(f"\n### {name}\n")
+            print("| batch | ms/batch | ms/image | images/sec |")
+            print("|------:|---------:|---------:|-----------:|")
+            for r in rows:
+                print(
+                    f"| {r['batch']} | {r['ms_per_batch']} | "
+                    f"{r['ms_per_image']} | {r['images_per_sec']} |"
+                )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,9 +28,21 @@ QK = 32
 
 
 def _expand_scales(d: jnp.ndarray) -> jnp.ndarray:
-    """(bn, K/32) per-block scales -> (bn, K) lane-aligned broadcast.
-    jnp.repeat (elementwise; NOT pltpu.repeat, which tiles the whole array)."""
-    return jnp.repeat(d, QK, axis=1)
+    """(bn, K/32) per-block scales -> (bn, K) elementwise block broadcast.
+
+    Implemented as d @ E with E[b, j] = (j//32 == b), built from 2D iotas: both
+    jnp.repeat and broadcast+reshape crash the Mosaic compiler on v5e, while this
+    small matmul lowers cleanly onto the MXU (bn x nb x K, negligible FLOPs)."""
+    bn, nb = d.shape
+    k = nb * QK
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
+    e = (cols // QK == rows).astype(jnp.float32)
+    out = jax.lax.dot_general(
+        d.astype(jnp.float32), e, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,  # Mosaic requires a 32-bit matmul acc
+    )
+    return out.astype(d.dtype)
 
 
 def _kernel_sym(x_ref, codes_ref, d_ref, o_ref):

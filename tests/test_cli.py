@@ -1,0 +1,93 @@
+"""CLI smoke tests on the bundled reference assets (SURVEY.md §4 item 4)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dinov2_tpu.io.synthetic import write_synthetic_gguf
+from dinov2_tpu.models.config import DinoConfig
+
+REPO = Path(__file__).resolve().parent.parent
+ASSETS = Path("/root/reference/assets")
+
+TINY = DinoConfig(
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    num_classes=4,
+    patch_size=14,
+    img_size=70,
+)
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli") / "tiny.gguf"
+    return write_synthetic_gguf(path, TINY, seed=3)
+
+
+def _run(args):
+    env_script = (
+        "import sys, jax; jax.config.update('jax_platforms','cpu'); "
+        f"sys.path.insert(0, {str(REPO)!r}); "
+        "from dinov2_tpu.cli import inference, realtime, quantize as q; "
+    )
+    return subprocess.run(
+        [sys.executable, "-c", env_script + args],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+@pytest.mark.skipif(not ASSETS.exists(), reason="reference assets not mounted")
+def test_inference_classify_cli(ckpt, tmp_path):
+    r = _run(
+        f"sys.exit(inference.main(['-m', {str(ckpt)!r}, '-i', "
+        f"{str(ASSETS / 'tench.jpg')!r}, '-c', '--dtype', 'f32']))"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "graph computation took" in r.stderr
+    assert " > class_" in r.stdout
+
+
+@pytest.mark.skipif(not ASSETS.exists(), reason="reference assets not mounted")
+def test_inference_pca_cli(ckpt, tmp_path):
+    out = tmp_path / "pca.jpg"
+    r = _run(
+        f"sys.exit(inference.main(['-m', {str(ckpt)!r}, '-i', "
+        f"{str(ASSETS / 'cheetah.jpg')!r}, '-o', {str(out)!r}, '--dtype', 'f32']))"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    import cv2
+
+    img = cv2.imread(str(out))
+    assert img is not None and img.shape[2] == 3
+
+
+def test_realtime_synthetic_cli(ckpt, tmp_path):
+    out = tmp_path / "last.jpg"
+    r = _run(
+        f"sys.exit(realtime.main(['-m', {str(ckpt)!r}, '--synthetic', "
+        f"'--frames', '2', '--no-display', '--save-last', {str(out)!r}, "
+        f"'--dtype', 'f32']))"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "FPS" in r.stderr
+    assert out.exists()
+
+
+def test_quantize_cli(ckpt, tmp_path):
+    out = tmp_path / "q.gguf"
+    r = _run(f"sys.exit(q.main([{str(ckpt)!r}, {str(out)!r}, 'q5_0']))")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    from dinov2_tpu.io.gguf import GGMLType, GGUFReader
+
+    rd = GGUFReader(out)
+    assert GGMLType(rd.kv["ftype"]) == GGMLType.Q5_0
+    rd.close()
