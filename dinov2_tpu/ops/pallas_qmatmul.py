@@ -27,22 +27,34 @@ from jax.experimental.pallas import tpu as pltpu
 QK = 32
 
 
-def _expand_scales(d: jnp.ndarray) -> jnp.ndarray:
-    """(bn, K/32) per-block scales -> (bn, K) elementwise block broadcast.
-
-    Implemented as d @ E with E[b, j] = (j//32 == b), built from 2D iotas: both
-    jnp.repeat and broadcast+reshape crash the Mosaic compiler on v5e, while this
-    small matmul lowers cleanly onto the MXU (bn x nb x K, negligible FLOPs)."""
-    bn, nb = d.shape
-    k = nb * QK
+def _block_indicator(nb: int, k: int) -> jnp.ndarray:
+    """E (nb, k) with E[b, j] = (j // 32 == b), built from 2D iotas. Both
+    jnp.repeat and broadcast+reshape crash the Mosaic compiler on v5e; matmuls
+    against this indicator lower cleanly onto the MXU and are negligible FLOPs."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k), 1)
-    e = (cols // QK == rows).astype(jnp.float32)
+    return (cols // QK == rows).astype(jnp.float32)
+
+
+def _expand_scales(d: jnp.ndarray) -> jnp.ndarray:
+    """(bn, K/32) per-block scales -> (bn, K) elementwise block broadcast: d @ E."""
+    bn, nb = d.shape
+    e = _block_indicator(nb, nb * QK)
     out = jax.lax.dot_general(
         d.astype(jnp.float32), e, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,  # Mosaic requires a 32-bit matmul acc
     )
     return out.astype(d.dtype)
+
+
+def _block_sums(x: jnp.ndarray) -> jnp.ndarray:
+    """(bm, K) -> (bm, K/32) per-block sums: x @ Eᵀ (reshape-free for Mosaic)."""
+    bm, k = x.shape
+    e = _block_indicator(k // QK, k)
+    return jax.lax.dot_general(
+        x.astype(jnp.float32), e, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _kernel_sym(x_ref, codes_ref, d_ref, o_ref):
@@ -56,9 +68,9 @@ def _kernel_sym(x_ref, codes_ref, d_ref, o_ref):
 
 
 def _kernel_affine(x_ref, codes_ref, d_ref, m_ref, o_ref):
-    # affine formats (q4_1/q5_1): w = codes*d + m. Rather than materializing m
-    # into the weight tile, use linearity: x @ (C*D + M)ᵀ = x @ (C*D)ᵀ + x @ Mᵀ,
-    # and x @ Mᵀ = (x-blocksum) — computed exactly as sum_block(x) · mᵀ.
+    # affine formats (q4_1/q5_1): w = codes*d + m with m constant per 32-block.
+    # By linearity x @ wᵀ = x @ (codes*d)ᵀ + blocksums(x) @ mᵀ, where
+    # blocksums(x)[i, b] = Σ_{k in block b} x[i, k] — exact, no broadcast of m.
     x = x_ref[:]  # (bm, K)
     w = codes_ref[:].astype(jnp.bfloat16)
     d = d_ref[:].astype(jnp.bfloat16)
@@ -66,8 +78,7 @@ def _kernel_affine(x_ref, codes_ref, d_ref, m_ref, o_ref):
     acc = jax.lax.dot_general(
         x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    bm, k = x.shape
-    xs = x.astype(jnp.float32).reshape(bm, k // QK, QK).sum(axis=-1)  # (bm, K/32)
+    xs = _block_sums(x)  # (bm, K/32)
     acc = acc + jax.lax.dot_general(
         xs.astype(jnp.bfloat16),
         m_ref[:].astype(jnp.bfloat16),

@@ -28,6 +28,7 @@ from dinov2_tpu.image.preprocess import classify_preprocess, feature_preprocess
 from dinov2_tpu.models.params import load_params
 from dinov2_tpu.models.vit import ModelOptions, forward
 from dinov2_tpu.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from dinov2_tpu.utils.debug import check_finite
 from dinov2_tpu.utils.logging import get_logger, log_model_banner
 from dinov2_tpu.utils.timing import time_blocked
 
@@ -113,6 +114,7 @@ class DinoEngine:
 
         out, ms = time_blocked(run, x)
         self.last_compute_ms = ms
+        check_finite(out, "classify:")
         return np.asarray(out["probs"])[:n]
 
     # ------------------------------------------------------------------
@@ -130,6 +132,7 @@ class DinoEngine:
 
         out, ms = time_blocked(run, x)
         self.last_compute_ms = ms
+        check_finite(out, "features:")
         gh, gw = (h // p + 1), (w // p + 1)  # quirk Q4 target grid
         return {
             "cls_token": np.asarray(out["cls_token"])[:n],
