@@ -18,6 +18,8 @@ def main(argv=None) -> int:
     add_common_args(parser)
     parser.add_argument("--batch", type=int, default=1,
                         help="replicate the input to this batch size (throughput mode)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the timed run into DIR")
     args = parser.parse_args(argv)
 
     from dinov2_tpu.runtime.engine import DinoEngine
@@ -37,15 +39,25 @@ def main(argv=None) -> int:
 
     batch = np.repeat(img[None], args.batch, axis=0)
 
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+
     if args.classify:
         engine.classify_probs(batch)  # warmup/compile
-        results = engine.classify(batch, topk=args.topk)
+        with profile_ctx:
+            results = engine.classify(batch, topk=args.topk)
         print(file=sys.stderr)
         for label, prob in results[0]:
             print(f" > {label} : {prob:.2f}")
     else:
         engine.extract_features(batch)  # warmup/compile
-        vis = engine.pca_visualization(img)
+        with profile_ctx:
+            vis = engine.pca_visualization(img)
         save_image_rgb(args.out, vis)
         print(f"wrote PCA visualization to {args.out}", file=sys.stderr)
 

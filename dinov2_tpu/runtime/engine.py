@@ -64,6 +64,7 @@ class DinoEngine:
             self.params = replicate(self.params, self.mesh)
         log_model_banner(self.config, str(model_path))
         self.last_compute_ms = 0.0
+        self._jit_classify_pre = jax.jit(classify_preprocess)
 
     # ------------------------------------------------------------------
     def _stack_batch(self, images: Sequence[np.ndarray] | np.ndarray) -> np.ndarray:
@@ -73,6 +74,34 @@ class DinoEngine:
         if batch.ndim != 4 or batch.shape[-1] != 3:
             raise ValueError("expected RGB images (B, H, W, 3)")
         return batch
+
+    def _group_by_shape(self, images) -> list[tuple[list[int], np.ndarray]]:
+        """Group mixed-size images by (H, W) so each group preprocesses with one
+        compiled program (classify outputs are all 224x224, so groups merge into
+        one forward batch afterwards)."""
+        if isinstance(images, np.ndarray):
+            images = [images] if images.ndim == 3 else list(images)
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, img in enumerate(images):
+            groups.setdefault((img.shape[0], img.shape[1]), []).append(i)
+        return [
+            (idxs, np.stack([images[i] for i in idxs], axis=0))
+            for idxs in groups.values()
+        ]
+
+    def _bucket_pad(self, x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+        """Pad a device batch up to the bucket size (and shard over the mesh)."""
+        n = x.shape[0]
+        bucket = _bucket(n)
+        if self.mesh is not None:
+            ndev = self.mesh.devices.size
+            bucket = -(-max(bucket, ndev) // ndev) * ndev
+        if bucket != n:
+            pad = jnp.broadcast_to(x[-1:], (bucket - n, *x.shape[1:]))
+            x = jnp.concatenate([x, pad], axis=0)
+        if self.mesh is not None:
+            x = shard_batch(x, self.mesh)
+        return x, n
 
     def _device_batch(self, batch: np.ndarray) -> tuple[jnp.ndarray, int]:
         n = batch.shape[0]
@@ -103,16 +132,26 @@ class DinoEngine:
         return out
 
     def classify_probs(self, images) -> np.ndarray:
+        """Mixed-size images are allowed: preprocessing runs per size group
+        (each its own compiled program), the forward runs once on the merged
+        224x224 batch."""
         if not self.loaded.has_classifier:
             raise ValueError("checkpoint has no classifier head")
-        batch = self._stack_batch(images)
-        x, n = self._device_batch(batch)
+        groups = self._group_by_shape(images)
 
-        def run(x):
-            pre = classify_preprocess(x)
-            return forward(self.params, pre, self.config, self.opts, classify=True)
+        def run():
+            order, parts = [], []
+            for idxs, batch in groups:
+                order.extend(idxs)
+                parts.append(self._jit_classify_pre(jnp.asarray(batch)))
+            pre = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            inv = np.argsort(np.asarray(order))
+            pre = pre[jnp.asarray(inv)]
+            pre, n = self._bucket_pad(pre)
+            out = forward(self.params, pre, self.config, self.opts, classify=True)
+            return out, n
 
-        out, ms = time_blocked(run, x)
+        (out, n), ms = time_blocked(run)
         self.last_compute_ms = ms
         check_finite(out, "classify:")
         return np.asarray(out["probs"])[:n]

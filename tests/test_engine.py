@@ -41,6 +41,21 @@ def test_engine_classify(tiny_gguf, rng):
     np.testing.assert_allclose(single[0], probs[0], rtol=1e-5, atol=1e-6)
 
 
+def test_engine_classify_mixed_sizes(tiny_gguf, rng):
+    """Mixed-size inputs batch into one forward; results match per-image runs."""
+    engine = DinoEngine(tiny_gguf, dtype=jnp.float32)
+    imgs = [
+        rng.integers(0, 256, (100, 120, 3), dtype=np.uint8),
+        rng.integers(0, 256, (64, 64, 3), dtype=np.uint8),
+        rng.integers(0, 256, (100, 120, 3), dtype=np.uint8),
+    ]
+    mixed = engine.classify_probs(imgs)
+    assert mixed.shape[0] == 3
+    for i, img in enumerate(imgs):
+        single = engine.classify_probs(img)
+        np.testing.assert_allclose(mixed[i], single[0], rtol=1e-5, atol=1e-6)
+
+
 def test_engine_features_and_pca(tiny_gguf, rng):
     engine = DinoEngine(tiny_gguf, dtype=jnp.float32)
     img = rng.integers(0, 256, (100, 120, 3), dtype=np.uint8)
