@@ -1,0 +1,51 @@
+"""`dinov2-serve` — batching HTTP inference server.
+
+New TPU-native capability (the reference has no serving daemon): coalesces
+concurrent requests into batched forwards. See runtime/server.py."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from dinov2_tpu.cli._common import add_common_args, dtype_of
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    from dinov2_tpu.runtime.engine import DinoEngine
+    from dinov2_tpu.runtime.server import BatchingServer
+
+    engine = DinoEngine(
+        args.model,
+        dtype=dtype_of(args),
+        quant_mode=args.quant_mode,
+        parity=args.parity,
+        flash_attention=args.flash_attn,
+        data_parallel=args.data_parallel,
+    )
+    if engine.loaded.has_classifier:
+        engine.warmup((256, 256), batch=1, classify=True)
+
+    server = BatchingServer(
+        engine,
+        host=args.host,
+        port=args.port,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        topk=args.topk,
+    )
+    print(f"serving on http://{args.host}:{server.port}", file=sys.stderr)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,178 @@
+"""Minimal batching inference server (stdlib-only HTTP, no extra deps).
+
+The reference has "no serving daemon" (SURVEY.md TL;DR); this adds the missing
+production-serving surface the TPU deployment story needs: a background batcher
+that coalesces concurrent requests into one MXU-bound forward (the whole point
+of TPU inference is batch amortization), in front of DinoEngine.
+
+Endpoints:
+  POST /classify   body: raw image bytes (jpg/png)   -> {"topk": [[label, p], ...]}
+  POST /features   body: raw image bytes             -> {"cls_token": [...], "grid": [h, w]}
+  GET  /healthz                                      -> {"ok": true, "model": {...}}
+
+Batching: requests arriving within `max_wait_ms` (or until `max_batch`) are run
+as one forward. Decode happens on the server thread; device work on the batcher
+thread only, so the jit cache is used from a single thread.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+import numpy as np
+
+
+@dataclass
+class _Pending:
+    image: np.ndarray
+    mode: str  # "classify" | "features"
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: str | None = None
+
+
+class BatchingServer:
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        max_batch: int = 32,
+        max_wait_ms: float = 5.0,
+        topk: int = 5,
+    ):
+        self.engine = engine
+        self.topk = topk
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: queue.Queue[_Pending] = queue.Queue()
+        self._stop = threading.Event()
+        self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
+        self.stats = {"requests": 0, "batches": 0, "images": 0}
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    cfg = server.engine.config
+                    self._reply(
+                        200,
+                        {
+                            "ok": True,
+                            "model": {
+                                "hidden_size": cfg.hidden_size,
+                                "layers": cfg.num_hidden_layers,
+                                "registers": cfg.num_register_tokens,
+                            },
+                            "stats": server.stats,
+                        },
+                    )
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                mode = {"/classify": "classify", "/features": "features"}.get(self.path)
+                if mode is None:
+                    self._reply(404, {"error": "not found"})
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                try:
+                    import cv2
+
+                    buf = np.frombuffer(data, dtype=np.uint8)
+                    img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+                    if img is None:
+                        raise ValueError("image decode failed")
+                    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                except Exception as e:  # noqa: BLE001
+                    self._reply(400, {"error": str(e)})
+                    return
+                pending = _Pending(image=img, mode=mode)
+                server._queue.put(pending)
+                pending.event.wait(timeout=600)
+                if pending.error:
+                    self._reply(500, {"error": pending.error})
+                else:
+                    self._reply(200, pending.result)
+
+        self._http = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._http.server_address[1]
+
+    # ------------------------------------------------------------------
+    def _batch_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait_ms / 1e3
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: list[_Pending]):
+        self.stats["batches"] += 1
+        self.stats["images"] += len(batch)
+        by_mode: dict[str, list[_Pending]] = {}
+        for p in batch:
+            by_mode.setdefault(p.mode, []).append(p)
+        for mode, items in by_mode.items():
+            try:
+                if mode == "classify":
+                    results = self.engine.classify(
+                        [p.image for p in items], topk=self.topk
+                    )
+                    for p, r in zip(items, results):
+                        p.result = {"topk": [[label, prob] for label, prob in r]}
+                else:
+                    for p in items:  # feature grids differ per size
+                        feats = self.engine.extract_features(p.image)
+                        p.result = {
+                            "cls_token": feats["cls_token"][0].tolist(),
+                            "grid": list(feats["grid"]),
+                        }
+            except Exception as e:  # noqa: BLE001
+                for p in items:
+                    p.error = str(e)
+            finally:
+                for p in items:
+                    p.event.set()
+
+    # ------------------------------------------------------------------
+    def start(self):
+        self._batcher.start()
+        threading.Thread(target=self._http.serve_forever, daemon=True).start()
+
+    def stop(self):
+        self._stop.set()
+        self._http.shutdown()
+
+    def serve_forever(self):
+        self._batcher.start()
+        self._http.serve_forever()

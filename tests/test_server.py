@@ -1,0 +1,103 @@
+"""Batching HTTP server integration test (in-process, CPU backend)."""
+
+import json
+import threading
+import urllib.request
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dinov2_tpu.io.synthetic import write_synthetic_gguf
+from dinov2_tpu.models.config import DinoConfig
+from dinov2_tpu.runtime.engine import DinoEngine
+from dinov2_tpu.runtime.server import BatchingServer
+
+TINY = DinoConfig(
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    num_classes=4,
+    patch_size=14,
+    img_size=70,
+)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    path = tmp_path_factory.mktemp("srv") / "m.gguf"
+    write_synthetic_gguf(path, TINY, seed=3)
+    engine = DinoEngine(path, dtype=jnp.float32)
+    srv = BatchingServer(engine, port=0, max_wait_ms=20.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(port, path, data):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        return json.loads(resp.read())
+
+
+def _jpg(rng, h=96, w=128):
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    return buf.tobytes()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/healthz", timeout=60
+    ) as resp:
+        data = json.loads(resp.read())
+    assert data["ok"] and data["model"]["hidden_size"] == 64
+
+
+def test_classify_endpoint(server, rng):
+    out = _post(server.port, "/classify", _jpg(rng))
+    assert len(out["topk"]) == 4  # topk capped at num_classes
+    label, prob = out["topk"][0]
+    assert label.startswith("class_") and 0 <= prob <= 1
+
+
+def test_features_endpoint(server, rng):
+    out = _post(server.port, "/features", _jpg(rng))
+    assert len(out["cls_token"]) == 64
+    assert out["grid"] == [96 // 14 + 1, 128 // 14 + 1]
+
+
+def test_concurrent_requests_batch(server, rng):
+    results = [None] * 6
+    errors = []
+
+    def call(i):
+        try:
+            results[i] = _post(server.port, "/classify", _jpg(rng, 70, 70))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    before = server.stats["batches"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors
+    assert all(r is not None for r in results)
+    # 6 concurrent requests should have landed in fewer than 6 batches
+    assert server.stats["batches"] - before < 6
+
+
+def test_bad_image_400(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/classify", data=b"not an image", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400
