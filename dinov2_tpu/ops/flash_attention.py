@@ -95,6 +95,9 @@ def flash_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, tp, hd), q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tp * tp * hd,
             bytes_accessed=3 * b * h * tp * hd * q.dtype.itemsize

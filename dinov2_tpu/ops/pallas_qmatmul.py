@@ -153,6 +153,9 @@ def quant_matmul_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * k,
             bytes_accessed=mp * k * x.dtype.itemsize + np_ * k + np_ * nb * 4,

@@ -50,7 +50,11 @@ class DinoEngine:
         parity: str = "reference",
         flash_attention: bool = False,
         data_parallel: bool = False,
+        mesh_axes: dict[str, int] | None = None,
     ):
+        """mesh_axes: explicit mesh, e.g. {'data': 4, 'model': 2} — batch sharded
+        on 'data', weights Megatron-sharded on 'model' (giant-model latency).
+        data_parallel=True is shorthand for a 1-D all-device 'data' mesh."""
         self.loaded = load_params(model_path, dtype=dtype, quant_mode=quant_mode)
         self.config = self.loaded.config
         self.id2label = self.loaded.id2label
@@ -59,7 +63,14 @@ class DinoEngine:
         )
         self.mesh = None
         self.params = self.loaded.params
-        if data_parallel and len(jax.devices()) > 1:
+        if mesh_axes is not None:
+            from dinov2_tpu.parallel.mesh import shard_params
+
+            self.mesh = make_mesh(mesh_axes)
+            self.params = shard_params(
+                self.params, self.mesh, tensor_parallel="model" in mesh_axes
+            )
+        elif data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
             self.params = replicate(self.params, self.mesh)
         log_model_banner(self.config, str(model_path))

@@ -85,6 +85,24 @@ def test_training_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_engine_tensor_parallel_matches_single(tmp_path, rng):
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.runtime.engine import DinoEngine
+
+    cfg = DinoConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        num_classes=4, patch_size=14, img_size=70,
+    )
+    path = write_synthetic_gguf(tmp_path / "tp.gguf", cfg, seed=7)
+    imgs = rng.integers(0, 256, (4, 70, 70, 3), dtype=np.uint8)
+
+    single = DinoEngine(path, dtype=jnp.float32).classify_probs(imgs)
+    sharded = DinoEngine(
+        path, dtype=jnp.float32, mesh_axes={"data": 4, "model": 2}
+    ).classify_probs(imgs)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
