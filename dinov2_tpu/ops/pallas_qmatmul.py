@@ -92,14 +92,34 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
+
+
+def _vmem_bytes(bm: int, bn: int, k: int, x_itemsize: int, affine: bool) -> int:
+    nb = k // QK
+    return (
+        bm * k * x_itemsize  # x tile
+        + bn * k  # int8 codes tile
+        + bn * k * 2  # dequantized bf16 weight tile
+        + bn * nb * 4 * (2 if affine else 1)  # scales (+ mins)
+        + bm * bn * 4  # f32 accumulator/output tile
+    )
+
+
 def quant_matmul_pallas(
     x: jnp.ndarray,
     ql,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m: int = 1024,
+    block_n: int = 768,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """x (..., K) @ QuantLinear(out=N, in=K)ᵀ -> (..., N)."""
+    """x (..., K) @ QuantLinear(out=N, in=K)ᵀ -> (..., N).
+
+    Default blocks (1024, 768) measured fastest on v5e for ViT shapes — the
+    fused kernel there outruns both XLA dequant-then-matmul and the dense bf16
+    matmul (packed weights read fewer HBM bytes). Blocks shrink automatically
+    to stay inside the VMEM budget.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -118,6 +138,19 @@ def quant_matmul_pallas(
     bn = min(block_n, np_)
     while np_ % bn:
         bn //= 2
+    # shrink to the VMEM budget (alternate halving the larger block)
+    while (
+        _vmem_bytes(bm, bn, k, x2.dtype.itemsize, ql.m is not None) > _VMEM_BUDGET
+        and (bm > 8 or bn > 128)
+    ):
+        if bm >= bn and bm > 8:
+            bm = max(8, bm // 2)
+            while mp % bm:
+                bm //= 2
+        else:
+            bn = max(128, bn // 2)
+            while np_ % bn:
+                bn //= 2
 
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
