@@ -12,6 +12,8 @@ Everything runs on device in f32.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -44,10 +46,12 @@ def pca_to_u8_grid(projected: jnp.ndarray, grid_hw: tuple[int, int]) -> jnp.ndar
     return u8.reshape(h, w, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("grid_hw", "out_hw"))
 def pca_visualization(
     patch_tokens: jnp.ndarray, grid_hw: tuple[int, int], out_hw: tuple[int, int]
 ) -> jnp.ndarray:
-    """Full reference post-processing: project -> u8 grid -> nearest upscale."""
+    """Full reference post-processing: project -> u8 grid -> nearest upscale.
+    Jitted whole (one dispatch per frame — matters for the realtime loop)."""
     proj = pca_project(patch_tokens, 3)
     grid = pca_to_u8_grid(proj, grid_hw)
     return resize_nearest(grid, out_hw[0], out_hw[1])

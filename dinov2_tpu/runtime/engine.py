@@ -76,6 +76,8 @@ class DinoEngine:
         log_model_banner(self.config, str(model_path))
         self.last_compute_ms = 0.0
         self._jit_classify_pre = jax.jit(classify_preprocess)
+        self._jit_feature_pre = jax.jit(feature_preprocess, static_argnums=(1,))
+        self._jit_pca = jax.jit(self._pca_full, static_argnums=(1, 2, 3))
 
     # ------------------------------------------------------------------
     def _stack_batch(self, images: Sequence[np.ndarray] | np.ndarray) -> np.ndarray:
@@ -177,7 +179,7 @@ class DinoEngine:
         h, w = batch.shape[1], batch.shape[2]
 
         def run(x):
-            pre = feature_preprocess(x, p)
+            pre = self._jit_feature_pre(x, p)
             return forward(self.params, pre, self.config, self.opts, classify=False)
 
         out, ms = time_blocked(run, x)
@@ -191,15 +193,24 @@ class DinoEngine:
         }
 
     # ------------------------------------------------------------------
+    def _pca_full(self, x: jnp.ndarray, p: int, gh: int, gw: int) -> jnp.ndarray:
+        """Fused preprocess -> forward -> PCA, one device dispatch per frame
+        (the realtime loop's hot path; reference rebuilds its graph per frame,
+        realtime.cpp:65-70)."""
+        pre = feature_preprocess(x, p)
+        out = forward(self.params, pre, self.config, self.opts, classify=False)
+        tokens = out["patch_tokens"][0]
+        return pca_visualization(tokens, (gh, gw), (gh * p, gw * p))
+
     def pca_visualization(self, image: np.ndarray) -> np.ndarray:
         """One RGB image -> uint8 PCA visualization at the preprocessed size
         (reference upscales the patch grid with INTER_NEAREST to the model input
         size, inference.cpp:95-97)."""
-        feats = self.extract_features(image[None] if image.ndim == 3 else image)
-        gh, gw = feats["grid"]
-        tokens = jnp.asarray(feats["patch_tokens"][0])
+        img = image[None] if image.ndim == 3 else image
         p = self.config.patch_size
-        vis = pca_visualization(tokens, (gh, gw), (gh * p, gw * p))
+        gh, gw = img.shape[1] // p + 1, img.shape[2] // p + 1
+        vis, ms = time_blocked(self._jit_pca, jnp.asarray(img), p, gh, gw)
+        self.last_compute_ms = ms
         return np.asarray(vis)
 
     # ------------------------------------------------------------------
