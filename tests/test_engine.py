@@ -71,6 +71,18 @@ def test_engine_features_and_pca(tiny_gguf, rng):
     assert vis.min() == 0 and vis.max() == 255  # min-max normalized
 
 
+def test_engine_features_518px(tiny_gguf, rng):
+    """The reference's headline feature config: 518px input -> 37x37(+1) grid
+    (quirk Q4 rounds 518 up to 38x38 patches of 14)."""
+    engine = DinoEngine(tiny_gguf, dtype=jnp.float32)
+    img = rng.integers(0, 256, (518, 518, 3), dtype=np.uint8)
+    feats = engine.extract_features(img)
+    assert feats["grid"] == (38, 38)
+    assert feats["patch_tokens"].shape == (1, 38 * 38, TINY.hidden_size)
+    vis = engine.pca_visualization(img)
+    assert vis.shape == (38 * 14, 38 * 14, 3)
+
+
 def test_do_quantize_rule():
     # quirk Q10: only 2D `.*weight` tensors quantize
     assert do_quantize("encoder.layer.0.mlp.fc1.weight", (64, 64))
