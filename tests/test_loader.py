@@ -1,0 +1,75 @@
+"""Threaded batch loader + eval CLI tests."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from dinov2_tpu.runtime.loader import BatchLoader, list_images
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture
+def image_dir(tmp_path, rng):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(7):
+        img = rng.integers(0, 256, (60 + i, 80, 3), dtype=np.uint8)
+        cv2.imwrite(str(d / f"img_{i}.jpg"), img)
+    (d / "notes.txt").write_text("ignored")
+    return d
+
+
+def test_list_images(image_dir):
+    paths = list_images(image_dir)
+    assert len(paths) == 7
+    assert all(p.suffix == ".jpg" for p in paths)
+
+
+def test_batch_loader_shapes_and_order(image_dir):
+    loader = BatchLoader(list_images(image_dir), batch_size=3, size=(64, 64))
+    batches = list(loader)
+    assert len(batches) == 3
+    sizes = [b[1].shape for b in batches]
+    assert sizes[0] == (3, 64, 64, 3) and sizes[2] == (1, 64, 64, 3)
+    names = [p.name for paths, _ in batches for p in paths]
+    assert names == sorted(names)
+
+
+def test_eval_cli(image_dir, tmp_path):
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.config import DinoConfig
+
+    ckpt = tmp_path / "m.gguf"
+    write_synthetic_gguf(
+        ckpt,
+        DinoConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+                   num_classes=4, patch_size=14, img_size=70),
+        seed=3,
+    )
+    labels = {f"img_{i}.jpg": i % 4 for i in range(7)}
+    labels_path = tmp_path / "labels.json"
+    labels_path.write_text(json.dumps(labels))
+    out_path = tmp_path / "results.jsonl"
+
+    script = (
+        "import sys, jax; jax.config.update('jax_platforms','cpu'); "
+        f"sys.path.insert(0, {str(REPO)!r}); "
+        "from dinov2_tpu.cli import eval as ev; "
+        f"sys.exit(ev.main(['-m', {str(ckpt)!r}, '--dir', {str(image_dir)!r}, "
+        f"'--labels', {str(labels_path)!r}, '--output', {str(out_path)!r}, "
+        f"'--batch', '4', '--dtype', 'f32']))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "top-1" in r.stderr and "img/s" in r.stderr
+    lines = [json.loads(line) for line in out_path.read_text().splitlines()]
+    assert len(lines) == 7
+    assert all(len(rec["topk"]) == 4 for rec in lines)  # topk capped by classes
