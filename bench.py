@@ -40,11 +40,10 @@ def main() -> None:
     base = PRESETS["base"]
     config = DinoConfig(**{**base.__dict__, "num_classes": 1000})
     params = init_params(config, seed=0, dtype=jnp.bfloat16)
-    opts = ModelOptions(
-        parity="reference",
-        compute_dtype=jnp.bfloat16,
-        flash_attention=jax.default_backend() == "tpu",
-    )
+    # vanilla attention measured faster than the Pallas flash kernel at 224px
+    # (T=257 pads to 384 in the kernel; XLA's fused path wins at short seqs) —
+    # see scripts/tpu_suite.py results in docs/TPU_NOTES.md
+    opts = ModelOptions(parity="reference", compute_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, 224, 224, 3)), dtype=jnp.float32)
