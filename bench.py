@@ -10,8 +10,12 @@ Methodology mirrors the reference's timed region (forward compute only, device-
 synchronized; preprocessing excluded there, excluded here): ``ITERS`` batched
 forwards run as ONE jitted lax.scan whose carry is data-dependent on each
 iteration's output (loop-invariant hoisting / async-dispatch undercounting are
-both impossible), batch 64 @ 224px, bf16. Weight values don't affect op speed,
-so weights are random with the real ViT-B/14 structure.
+both impossible), batch 64 @ 224px, bf16. Each timed repeat uses a FRESH input
+buffer and is closed by a scalar device->host transfer (the axon tunnel can
+serve repeated identical executions from cache and its sync can return early —
+see docs/TPU_NOTES.md); the minimum over repeats is reported (tunnel has
+multi-hundred-ms random stalls). Weight values don't affect op speed, so
+weights are random with the real ViT-B/14 structure.
 """
 
 from __future__ import annotations
@@ -24,7 +28,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 BATCH = 64
-ITERS = 20
+ITERS = 50
+REPEATS = 3
 BASELINE_IMG_S = 5.0  # 200 ms/image, BASELINE.md ViT-B/14 fp16
 
 
@@ -48,34 +53,38 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, 224, 224, 3)), dtype=jnp.float32)
 
-    def make_loop(opts):
-        def body(carry, _):
-            probs = forward(params, carry, config, opts, classify=True)["probs"]
-            # thread a tiny data dependence into the next input so XLA cannot
-            # hoist or elide any iteration
-            carry = carry + (1e-8 * jnp.mean(probs)).astype(carry.dtype)
-            return carry, jnp.sum(probs)
+    # warm the device->host transfer path (first transfer per process is slow
+    # through the tunnel; all timed repeats then pay only ~30 ms for the sync)
+    float(jnp.sum(jnp.ones((8, 128))))
 
-        def loop(x):
-            _, sums = jax.lax.scan(body, x, None, length=ITERS)
-            return sums
+    def make_loop(opts):
+        # params MUST be a jit argument, not a closure: closed-over arrays are
+        # embedded as HLO constants (megabytes of compile payload; the tunnel's
+        # compile endpoint rejects large models with HTTP 413)
+        def loop(params, x):
+            def body(carry, _):
+                probs = forward(params, carry, config, opts, classify=True)["probs"]
+                # tiny data dependence into the next input so XLA cannot hoist
+                # or elide any iteration
+                return carry + (1e-8 * jnp.mean(probs)).astype(carry.dtype), None
+
+            c, _ = jax.lax.scan(body, x, None, length=ITERS)
+            return jnp.sum(c)
 
         return jax.jit(loop)
 
-    try:
-        loop = make_loop(opts)
-        jax.block_until_ready(loop(x))  # compile + warmup
-    except Exception:
-        # flash path unavailable (e.g. CPU run): fall back to vanilla attention
-        opts = ModelOptions(parity="reference", compute_dtype=jnp.bfloat16)
-        loop = make_loop(opts)
-        jax.block_until_ready(loop(x))
+    loop = make_loop(opts)
+    jax.block_until_ready(loop(params, x))  # compile + warmup
 
-    start = time.perf_counter()
-    jax.block_until_ready(loop(x))
-    elapsed = time.perf_counter() - start
+    best = float("inf")
+    for r in range(REPEATS):
+        xf = x * (1.0 + 1e-6 * (r + 1))  # fresh buffer defeats any result cache
+        jax.block_until_ready(xf)
+        start = time.perf_counter()
+        float(loop(params, xf))  # scalar transfer forces true completion
+        best = min(best, time.perf_counter() - start)
 
-    img_s = BATCH * ITERS / elapsed
+    img_s = BATCH * ITERS / best
     print(
         json.dumps(
             {

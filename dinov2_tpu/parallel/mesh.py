@@ -17,6 +17,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host (DCN) initialization wrapper. On single-host TPU or CPU this
+    is a no-op; on a multi-host pod slice call it before any jax API (wraps
+    jax.distributed.initialize, which reads the TPU env when args are None).
+    Shardings/meshes then span all hosts' devices transparently."""
+    import jax
+
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
     """Build a mesh. Default: 1-D 'data' mesh over all local devices."""
     devices = list(devices if devices is not None else jax.devices())

@@ -77,7 +77,7 @@ class DinoEngine:
         self.last_compute_ms = 0.0
         self._jit_classify_pre = jax.jit(classify_preprocess)
         self._jit_feature_pre = jax.jit(feature_preprocess, static_argnums=(1,))
-        self._jit_pca = jax.jit(self._pca_full, static_argnums=(1, 2, 3))
+        self._jit_pca = jax.jit(self._pca_full, static_argnums=(3, 4, 5))
 
     # ------------------------------------------------------------------
     def _stack_batch(self, images: Sequence[np.ndarray] | np.ndarray) -> np.ndarray:
@@ -193,12 +193,15 @@ class DinoEngine:
         }
 
     # ------------------------------------------------------------------
-    def _pca_full(self, x: jnp.ndarray, p: int, gh: int, gw: int) -> jnp.ndarray:
+    def _pca_full(
+        self, params, x: jnp.ndarray, p: int, gh: int, gw: int
+    ) -> jnp.ndarray:
         """Fused preprocess -> forward -> PCA, one device dispatch per frame
         (the realtime loop's hot path; reference rebuilds its graph per frame,
-        realtime.cpp:65-70)."""
+        realtime.cpp:65-70). `params` rides as a jit ARGUMENT — closing over it
+        would embed the weights as HLO constants (huge compile payloads)."""
         pre = feature_preprocess(x, p)
-        out = forward(self.params, pre, self.config, self.opts, classify=False)
+        out = forward(params, pre, self.config, self.opts, classify=False)
         tokens = out["patch_tokens"][0]
         return pca_visualization(tokens, (gh, gw), (gh * p, gw * p))
 
@@ -209,7 +212,7 @@ class DinoEngine:
         img = image[None] if image.ndim == 3 else image
         p = self.config.patch_size
         gh, gw = img.shape[1] // p + 1, img.shape[2] // p + 1
-        vis, ms = time_blocked(self._jit_pca, jnp.asarray(img), p, gh, gw)
+        vis, ms = time_blocked(self._jit_pca, self.params, jnp.asarray(img), p, gh, gw)
         self.last_compute_ms = ms
         return np.asarray(vis)
 
