@@ -77,7 +77,8 @@ class DinoEngine:
         self.last_compute_ms = 0.0
         self._jit_classify_pre = jax.jit(classify_preprocess)
         self._jit_feature_pre = jax.jit(feature_preprocess, static_argnums=(1,))
-        self._jit_pca = jax.jit(self._pca_full, static_argnums=(3, 4, 5))
+        # bound method: positional args are (params, x, p, gh, gw)
+        self._jit_pca = jax.jit(self._pca_full, static_argnums=(2, 3, 4))
 
     # ------------------------------------------------------------------
     def _stack_batch(self, images: Sequence[np.ndarray] | np.ndarray) -> np.ndarray:
