@@ -28,7 +28,7 @@ def main(argv=None) -> int:
         dtype=dtype_of(args),
         quant_mode=args.quant_mode,
         parity=args.parity,
-        flash_attention=args.flash_attn,
+        flash_attention=True if args.flash_attn else "auto",
         data_parallel=args.data_parallel,
     )
     if engine.loaded.has_classifier:

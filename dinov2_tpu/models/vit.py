@@ -37,7 +37,7 @@ class ModelOptions:
     """Static numerics/parity switches (hashable; part of the jit cache key)."""
 
     parity: str = "reference"  # "reference" replicates ggml quirks; "hf" matches HF
-    flash_attention: bool = False
+    flash_attention: Any = "auto"  # True | False | "auto" (per-shape, see ops/attention.py)
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False  # rematerialize encoder layers (training memory/FLOPs trade)
 

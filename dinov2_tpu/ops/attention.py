@@ -46,14 +46,28 @@ def vanilla_attention(
     return out.astype(v.dtype)
 
 
+def use_flash(flash, t: int, d: int) -> bool:
+    """Resolve the attention-path choice. "auto" picks per shape from v5e
+    measurements (docs/TPU_NOTES.md): the Pallas kernel wins at long sequences
+    (518px feature mode) and for narrow models (ViT-S); XLA's fused vanilla path
+    wins for wide models at short sequences (224px classify). Non-TPU backends
+    always take the vanilla path (Pallas would run interpreted)."""
+    if isinstance(flash, bool):
+        return flash
+    if jax.default_backend() != "tpu":
+        return False
+    return t >= 1024 or d <= 384
+
+
 def self_attention(
     x: jnp.ndarray,
     qkv_params: dict,
     proj_params: dict,
     num_heads: int,
-    flash: bool = False,
+    flash=False,
 ) -> jnp.ndarray:
-    """Full MHSA block: fused-qkv -> attention core -> output projection."""
+    """Full MHSA block: fused-qkv -> attention core -> output projection.
+    `flash`: True | False | "auto" (see use_flash)."""
     b, t, d = x.shape
     hd = d // num_heads
     scale = 1.0 / (hd**0.5)
@@ -61,7 +75,7 @@ def self_attention(
     qkv = apply_linear(x, qkv_params)
     q, k, v = split_heads(qkv, num_heads)
 
-    if flash:
+    if use_flash(flash, t, d):
         from dinov2_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(q, k, v, scale)

@@ -130,14 +130,10 @@ def quant_matmul_pallas(
         m *= s
     x2 = x.reshape(m, k)
 
-    mp = _round_up(m, 8)
-    np_ = _round_up(n, 128)
-    bm = min(block_m, mp)
-    while mp % bm:
-        bm //= 2
-    bn = min(block_n, np_)
-    while np_ % bn:
-        bn //= 2
+    # choose MXU-aligned blocks, then pad the operands up to block multiples
+    # (padding is sliced off at the end; never shrink blocks below 8/128)
+    bm = max(8, min(block_m, _round_up(m, 8)))
+    bn = max(128, min(block_n, _round_up(n, 128)))
     # shrink to the VMEM budget (alternate halving the larger block)
     while (
         _vmem_bytes(bm, bn, k, x2.dtype.itemsize, ql.m is not None) > _VMEM_BUDGET
@@ -145,12 +141,10 @@ def quant_matmul_pallas(
     ):
         if bm >= bn and bm > 8:
             bm = max(8, bm // 2)
-            while mp % bm:
-                bm //= 2
         else:
             bn = max(128, bn // 2)
-            while np_ % bn:
-                bn //= 2
+    mp = _round_up(m, bm)
+    np_ = _round_up(n, bn)
 
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))

@@ -48,7 +48,7 @@ class DinoEngine:
         dtype=jnp.bfloat16,
         quant_mode: str = "dequant",
         parity: str = "reference",
-        flash_attention: bool = False,
+        flash_attention="auto",
         data_parallel: bool = False,
         mesh_axes: dict[str, int] | None = None,
     ):
