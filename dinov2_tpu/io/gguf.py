@@ -22,9 +22,9 @@ from __future__ import annotations
 import enum
 import mmap
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, BinaryIO, Iterable, Mapping
+from typing import Any, Iterable, Mapping
 
 import numpy as np
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from dinov2_tpu.io.gguf import GGMLType
 
 
 def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:

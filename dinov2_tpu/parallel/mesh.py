@@ -9,7 +9,7 @@ NCCL/MPI analogs.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ collectives. Encoder remat is available via ModelOptions(remat=True).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax

@@ -27,9 +27,9 @@ from dinov2_tpu.image.pca import pca_visualization
 from dinov2_tpu.image.preprocess import classify_preprocess, feature_preprocess
 from dinov2_tpu.models.params import load_params
 from dinov2_tpu.models.vit import ModelOptions, forward
-from dinov2_tpu.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from dinov2_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from dinov2_tpu.utils.debug import check_finite
-from dinov2_tpu.utils.logging import get_logger, log_model_banner
+from dinov2_tpu.utils.logging import log_model_banner
 from dinov2_tpu.utils.timing import time_blocked
 
 
