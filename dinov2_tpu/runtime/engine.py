@@ -55,6 +55,14 @@ class DinoEngine:
         """mesh_axes: explicit mesh, e.g. {'data': 4, 'model': 2} — batch sharded
         on 'data', weights Megatron-sharded on 'model' (giant-model latency).
         data_parallel=True is shorthand for a 1-D all-device 'data' mesh."""
+        if quant_mode == "fused" and (mesh_axes or data_parallel):
+            from dinov2_tpu.utils.logging import get_logger
+
+            get_logger().warning(
+                "fused quantized matmul is single-device for now; "
+                "falling back to quant_mode='dequant' for the sharded engine"
+            )
+            quant_mode = "dequant"
         self.loaded = load_params(model_path, dtype=dtype, quant_mode=quant_mode)
         self.config = self.loaded.config
         self.id2label = self.loaded.id2label
