@@ -34,6 +34,9 @@ def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode):
     )
     classify = loaded.has_classifier
 
+    # warm the device->host transfer path once (tunnel quirk, docs/TPU_NOTES.md)
+    float(jnp.sum(jnp.ones((8, 128))))
+
     rows = []
     for batch in batch_sizes:
         x = jnp.asarray(
@@ -41,22 +44,28 @@ def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode):
             dtype=jnp.float32,
         )
 
-        def body(carry, _):
-            out = forward(loaded.params, carry, loaded.config, opts, classify=classify)
-            probe = out["probs"] if classify else out["cls_token"]
-            carry = carry + (1e-8 * jnp.mean(probe)).astype(carry.dtype)
-            return carry, jnp.sum(probe)
-
+        # params as a jit ARGUMENT (closures embed weights as HLO constants);
+        # fresh input per repeat + scalar transfer to force true completion
         @jax.jit
-        def loop(x):
-            _, sums = jax.lax.scan(body, x, None, length=iters)
-            return sums
+        def loop(params, x):
+            def body(carry, _):
+                out = forward(params, carry, loaded.config, opts, classify=classify)
+                probe = out["probs"] if classify else out["cls_token"]
+                return carry + (1e-8 * jnp.mean(probe)).astype(carry.dtype), None
 
-        jax.block_until_ready(loop(x))  # compile + warmup
-        t0 = time.perf_counter()
-        jax.block_until_ready(loop(x))
-        dt = time.perf_counter() - t0
-        ms_per_batch = dt / iters * 1e3
+            c, _ = jax.lax.scan(body, x, None, length=iters)
+            return jnp.sum(c)
+
+        jax.block_until_ready(loop(loaded.params, x))  # compile + warmup
+        best = float("inf")
+        for r in range(2):
+            xf = x * (1.0 + 1e-6 * (r + 1))
+            jax.block_until_ready(xf)
+            t0 = time.perf_counter()
+            float(loop(loaded.params, xf))
+            best = min(best, time.perf_counter() - t0)
+        ms_per_batch = best / iters * 1e3
+        dt = best
         rows.append(
             {
                 "batch": batch,
