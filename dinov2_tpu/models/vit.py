@@ -40,6 +40,10 @@ class ModelOptions:
     flash_attention: Any = "auto"  # True | False | "auto" (per-shape, see ops/attention.py)
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False  # rematerialize encoder layers (training memory/FLOPs trade)
+    sequence_parallel: bool = False  # shard the token axis on the 'model' mesh
+    # axis between attention blocks (Megatron-SP); requires a mesh context with
+    # a 'model' axis (jax.sharding.set_mesh). XLA inserts the all-gather before
+    # attention and the reduce-scatter after.
 
     @property
     def gelu_approximate(self) -> bool:
@@ -71,9 +75,20 @@ def swiglu_block(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     return apply_linear(h, p["wout"])
 
 
+def _sequence_shard(x: jnp.ndarray, opts: ModelOptions) -> jnp.ndarray:
+    """Sequence-parallel activation constraint: tokens sharded on 'model' for
+    the norm/MLP segments (no-op unless opts.sequence_parallel)."""
+    if not opts.sequence_parallel:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(x, P("data", "model", None))
+
+
 def encoder_layer(
     x: jnp.ndarray, layer: dict, config: DinoConfig, opts: ModelOptions
 ) -> jnp.ndarray:
+    x = _sequence_shard(x, opts)
     h = layer_norm(x, layer["norm1"], config.eps)
     h = self_attention(
         h, layer["qkv"], layer["proj"], config.num_attention_heads,

@@ -89,6 +89,11 @@ class Trainer:
 
     def step(self, params, opt_state, images, labels):
         images, labels = self.shard_batch(images, labels)
+        if self.mesh is not None and self.opts.sequence_parallel:
+            # sequence-parallel constraints resolve bare PartitionSpecs against
+            # the ambient mesh
+            with jax.sharding.set_mesh(self.mesh):
+                return self._train_step(params, opt_state, images, labels)
         return self._train_step(params, opt_state, images, labels)
 
 

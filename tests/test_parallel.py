@@ -85,6 +85,32 @@ def test_training_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_sequence_parallel_train_step_matches_single():
+    """dp=2 x tp=4 with sequence-parallel activation sharding must match the
+    unsharded training step (XLA inserts all-gather/reduce-scatter)."""
+    rng_l = np.random.default_rng(3)
+    images = rng_l.standard_normal((8, 70, 70, 3)).astype(np.float32)
+    labels = rng_l.integers(0, 8, (8,))
+
+    def one_step(mesh, sp):
+        params = init_params(TINY, seed=0, dtype=jnp.float32)
+        opts = ModelOptions(
+            parity="hf", compute_dtype=jnp.float32, sequence_parallel=sp
+        )
+        trainer = make_trainer(
+            TINY, mesh=mesh, opts=opts, tensor_parallel=mesh is not None,
+            preprocess_in_step=False,
+        )
+        params, opt_state = trainer.place(params)
+        _, _, metrics = trainer.step(params, opt_state, images, labels)
+        return float(metrics["loss"])
+
+    loss_ref = one_step(None, False)
+    mesh = make_mesh({"data": 2, "model": 4})
+    loss_sp = one_step(mesh, True)
+    np.testing.assert_allclose(loss_sp, loss_ref, rtol=1e-5)
+
+
 def test_engine_tensor_parallel_matches_single(tmp_path, rng):
     from dinov2_tpu.io.synthetic import write_synthetic_gguf
     from dinov2_tpu.runtime.engine import DinoEngine
