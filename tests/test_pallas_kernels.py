@@ -44,6 +44,24 @@ def test_flash_bf16_close_to_f32(rng):
     np.testing.assert_allclose(got, want, rtol=0.1, atol=0.05)
 
 
+def test_flash_multi_kv_block_online_softmax(rng, monkeypatch):
+    """Force multiple KV blocks so the online-softmax rescaling path runs."""
+    import dinov2_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_VMEM_BUDGET", 300_000)  # tiny budget -> small bq/bk
+    b, t, h, hd = 1, 300, 2, 32
+    q, k, v = [
+        jnp.asarray(rng.standard_normal((b, t, h, hd)), jnp.float32)
+        for _ in range(3)
+    ]
+    scale = 1.0 / hd**0.5
+    bq, bk = fa._pick_blocks(fa._round_up(t, 128), hd, 512)
+    assert fa._round_up(t, max(bq, bk)) // bk >= 2  # really multi-block
+    want = np.asarray(vanilla_attention(q, k, v, scale))
+    got = np.asarray(fa.flash_attention(q, k, v, scale, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def _make_ql(rng, n, k, t):
     w = (rng.standard_normal((n, k)) * 0.5).astype(np.float32)
     raw = quantize(w, t)
