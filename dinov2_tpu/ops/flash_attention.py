@@ -53,8 +53,10 @@ def _attn_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * bk
     s = jnp.where(col < t_actual, s, NEG_INF)
 
-    m_prev = m_scr[:, :1]  # (bq, 1), lane-broadcast storage
-    l_prev = l_scr[:, :1]
+    # stats live lane-broadcast in (bq, LANE) scratch; recover the per-row value
+    # with a full-width reduction (1-lane slice reads mislower on Mosaic)
+    m_prev = jnp.max(m_scr[...], axis=-1, keepdims=True)  # (bq, 1)
+    l_prev = jnp.max(l_scr[...], axis=-1, keepdims=True)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
@@ -71,7 +73,7 @@ def _attn_kernel(
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finish():
-        l = l_scr[:, :1]
+        l = jnp.max(l_scr[...], axis=-1, keepdims=True)
         inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[...] * inv).astype(o_ref.dtype)
 
@@ -80,18 +82,35 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_blocks(tp: int, hd: int, block_q: int) -> tuple[int, int]:
-    """Choose (bq, bk) so the f32 scores tile + K/V tiles fit in VMEM."""
-    bq = min(block_q, tp)
-    bk = min(tp, 2048)
-    while bq * bk * 4 + 2 * bk * hd * 2 + bq * (hd * 4 + 2 * LANE * 4) > _VMEM_BUDGET:
-        if bk >= bq and bk > LANE:
-            bk //= 2
-        elif bq > LANE:
-            bq //= 2
-        else:
-            break
-    return max(LANE // 16, bq), max(LANE, bk)
+def _pick_blocks(t: int, hd: int, block_q: int) -> tuple[int, int, int]:
+    """Choose (bq, bk, tp) with the grid invariant tp % bq == tp % bk == 0
+    (violating it silently drops Q blocks -> garbage output rows) and the f32
+    scores tile + K/V tiles inside the VMEM budget. bq is a power of two; bk is
+    a multiple of bq."""
+    t_lanes = _round_up(t, LANE)
+
+    def plan(bq):
+        # per-KV-column VMEM cost: one f32 scores column (bq*4) + one K and one
+        # V row (2*hd*2); fixed cost: acc + m/l scratch + q tile
+        fixed = bq * (hd * 4 + 2 * LANE * 4) + bq * hd * 2
+        bk_budget = (_VMEM_BUDGET - fixed) // (bq * 4 + 4 * hd)
+        bk = min(_round_up(t_lanes, bq), (bk_budget // bq) * bq)
+        if bk < bq:
+            return None
+        return bq, bk, _round_up(t, bk)
+
+    candidates = []
+    bq = LANE
+    while bq <= min(block_q, _round_up(t_lanes, LANE)):
+        p = plan(bq)
+        if p is not None:
+            candidates.append(p)
+        bq *= 2
+    if not candidates:  # degenerate: even bq=LANE over budget — take it anyway
+        bk = LANE
+        return LANE, bk, _round_up(t, bk)
+    # minimal padded score area; larger bq breaks ties (better MXU utilization)
+    return min(candidates, key=lambda p: (p[2], -p[0]))
 
 
 def flash_attention(
@@ -107,8 +126,7 @@ def flash_attention(
         interpret = jax.default_backend() != "tpu"
 
     b, t, h, hd = q.shape
-    bq, bk = _pick_blocks(_round_up(t, LANE), hd, block_q)
-    tp = _round_up(t, max(bq, bk))
+    bq, bk, tp = _pick_blocks(t, hd, block_q)
 
     def prep(x):
         x = x.transpose(0, 2, 1, 3).reshape(b * h, t, hd)

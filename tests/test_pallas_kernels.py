@@ -55,8 +55,9 @@ def test_flash_multi_kv_block_online_softmax(rng, monkeypatch):
         for _ in range(3)
     ]
     scale = 1.0 / hd**0.5
-    bq, bk = fa._pick_blocks(fa._round_up(t, 128), hd, 512)
-    assert fa._round_up(t, max(bq, bk)) // bk >= 2  # really multi-block
+    bq, bk, tp = fa._pick_blocks(t, hd, 512)
+    assert tp % bq == 0 and tp % bk == 0
+    assert tp // bk >= 2  # really multi-block
     want = np.asarray(vanilla_attention(q, k, v, scale))
     got = np.asarray(fa.flash_attention(q, k, v, scale, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
