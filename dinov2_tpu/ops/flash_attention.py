@@ -91,9 +91,10 @@ def _pick_blocks(t: int, hd: int, block_q: int) -> tuple[int, int, int]:
 
     def plan(bq):
         # per-KV-column VMEM cost: one f32 scores column (bq*4) + one K and one
-        # V row (2*hd*2); fixed cost: acc + m/l scratch + q tile
-        fixed = bq * (hd * 4 + 2 * LANE * 4) + bq * hd * 2
-        bk_budget = (_VMEM_BUDGET - fixed) // (bq * 4 + 4 * hd)
+        # V row, DOUBLE-buffered by the Mosaic pipeline (2 * 2*hd*2 = 8*hd);
+        # fixed cost: double-buffered q and o tiles + m/l/acc scratch
+        fixed = 4 * bq * hd + 4 * bq * hd + bq * (hd * 4 + 2 * LANE * 4)
+        bk_budget = (_VMEM_BUDGET - fixed) // (bq * 4 + 8 * hd)
         bk = min(_round_up(t_lanes, bq), (bk_budget // bq) * bq)
         if bk < bq:
             return None
