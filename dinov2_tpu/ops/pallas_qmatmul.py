@@ -55,33 +55,40 @@ def _block_sums(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _kernel_sym(x_ref, codes_ref, d_ref, o_ref):
-    x = x_ref[:]  # (bm, K)
-    w = codes_ref[:].astype(jnp.bfloat16)  # (bn, K)
-    d = d_ref[:].astype(jnp.bfloat16)  # (bn, K//32)
-    w = w * _expand_scales(d)
+def _kernel_sym(x_ref, codes_ref, d_ref, o_ref, w_scr):
+    # grid is (n_blocks, m_blocks) with m INNER: the dequantized weight tile is
+    # built once per N tile (m==0) into VMEM scratch and reused across M blocks
+    @pl.when(pl.program_id(1) == 0)
+    def _dequant():
+        w = codes_ref[:].astype(jnp.bfloat16)  # (bn, K)
+        d = d_ref[:].astype(jnp.bfloat16)  # (bn, K//32)
+        w_scr[...] = w * _expand_scales(d)
+
     o_ref[:] = jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x_ref[:], w_scr[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
-def _kernel_affine(x_ref, codes_ref, d_ref, m_ref, o_ref):
+def _kernel_affine(x_ref, codes_ref, d_ref, m_ref, o_ref, w_scr):
     # affine formats (q4_1/q5_1): w = codes*d + m with m constant per 32-block.
     # By linearity x @ wᵀ = x @ (codes*d)ᵀ + blocksums(x) @ mᵀ, where
     # blocksums(x)[i, b] = Σ_{k in block b} x[i, k] — exact, no broadcast of m.
+    @pl.when(pl.program_id(1) == 0)
+    def _dequant():
+        w = codes_ref[:].astype(jnp.bfloat16)
+        d = d_ref[:].astype(jnp.bfloat16)
+        w_scr[...] = w * _expand_scales(d)
+
     x = x_ref[:]  # (bm, K)
-    w = codes_ref[:].astype(jnp.bfloat16)
-    d = d_ref[:].astype(jnp.bfloat16)
-    w = w * _expand_scales(d)
     acc = jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x, w_scr[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    xs = _block_sums(x)  # (bm, K/32)
+    xs = _block_sums(x)  # (bm, K/32) f32
+    # the min-correction matmul is tiny (nb = K/32 contraction) — keep it f32 so
+    # the affine formats match the dequantized reference within bf16 noise
     acc = acc + jax.lax.dot_general(
-        xs.astype(jnp.bfloat16),
-        m_ref[:].astype(jnp.bfloat16),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        xs, m_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     o_ref[:] = acc.astype(o_ref.dtype)
 
@@ -153,18 +160,20 @@ def quant_matmul_pallas(
         if mm is not None:
             mm = jnp.pad(mm, ((0, np_ - n), (0, 0)))
 
-    grid = (mp // bm, np_ // bn)
+    # grid: N outer, M inner — the kernel dequantizes each weight tile once
+    # (at m==0) into VMEM scratch and reuses it across all M blocks
+    grid = (np_ // bn, mp // bm)
     nb = k // QK
     in_specs = [
-        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bn, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bn, nb), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, k), lambda n, m: (m, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, k), lambda n, m: (n, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM),
     ]
     operands = [x2, codes, d]
     kernel = _kernel_sym
     if mm is not None:
         in_specs.append(
-            pl.BlockSpec((bn, nb), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM)
         )
         operands.append(mm)
         kernel = _kernel_affine
@@ -174,12 +183,13 @@ def quant_matmul_pallas(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (bm, bn), lambda n, m: (m, n), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, k), jnp.bfloat16)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * k,
