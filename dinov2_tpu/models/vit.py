@@ -63,7 +63,7 @@ def layer_norm(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
 def mlp_block(x: jnp.ndarray, p: dict, approximate_gelu: bool) -> jnp.ndarray:
     """fc1 -> GELU -> fc2 (dinov2.cpp:556-575)."""
     h = apply_linear(x, p["fc1"])
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=approximate_gelu).astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=approximate_gelu)  # compute dtype; fuses
     return apply_linear(h, p["fc2"])
 
 
@@ -71,7 +71,7 @@ def swiglu_block(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """weights_in -> split halves -> SiLU(x1)*x2 -> weights_out (dinov2.cpp:577-614)."""
     h = apply_linear(x, p["win"])
     x1, x2 = jnp.split(h, 2, axis=-1)
-    h = (jax.nn.silu(x1.astype(jnp.float32)) * x2.astype(jnp.float32)).astype(x.dtype)
+    h = jax.nn.silu(x1) * x2  # compute dtype; fuses
     return apply_linear(h, p["wout"])
 
 
@@ -94,14 +94,16 @@ def encoder_layer(
         h, layer["qkv"], layer["proj"], config.num_attention_heads,
         flash=opts.flash_attention,
     )
-    x = x + (h.astype(jnp.float32) * layer["ls1"]).astype(x.dtype)
+    # LayerScale + residual in the compute dtype (keeps the whole residual
+    # stream fusable; ls values are O(1e-5..1), well inside bf16 range)
+    x = x + h * layer["ls1"].astype(x.dtype)
 
     h = layer_norm(x, layer["norm2"], config.eps)
     if config.swiglu:
         h = swiglu_block(h, layer["mlp"])
     else:
         h = mlp_block(h, layer["mlp"], opts.gelu_approximate)
-    x = x + (h.astype(jnp.float32) * layer["ls2"]).astype(x.dtype)
+    x = x + h * layer["ls2"].astype(x.dtype)
     return x
 
 

@@ -48,12 +48,17 @@ def quant_matmul(x: jnp.ndarray, ql, backend: str = "auto") -> jnp.ndarray:
 
 
 def apply_linear(x: jnp.ndarray, layer: dict, backend: str = "auto") -> jnp.ndarray:
-    """Apply a linear layer whose kernel is either dense (in, out) or QuantLinear."""
+    """Apply a linear layer whose kernel is either dense (in, out) or QuantLinear.
+
+    The matmul accumulates f32 on the MXU regardless of the requested output
+    dtype; emitting the compute dtype directly lets XLA fuse the bias add into
+    the matmul epilogue (a separate f32 add+convert pass costs ~13% of the
+    whole ViT forward — measured via jax.profiler, docs/TPU_NOTES.md)."""
     kernel = layer["kernel"]
     if hasattr(kernel, "ggml_type"):  # QuantLinear
         y = quant_matmul(x, kernel, backend=backend)
     else:
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
     if "bias" in layer:
-        y = (y.astype(jnp.float32) + layer["bias"]).astype(x.dtype)
+        y = y + layer["bias"].astype(x.dtype)
     return y
