@@ -38,16 +38,21 @@ jax.tree_util.register_pytree_node.__doc__  # keep linters quiet about jax impor
 class QuantLinear:
     """A ggml-quantized linear weight in TPU-kernel layout (structure-of-arrays).
 
-    codes: (out, in) int8 quantized codes, zero-point pre-subtracted for the
-           symmetric formats, so dequant is `codes*d` (q4_0/q5_0/q8_0) or
-           `codes*d + m` (q4_1/q5_1)
-    d:     (out, in//32) float32 per-block scales
-    m:     (out, in//32) float32 per-block mins or None
+    Two on-device layouts (ops/pallas_qmatmul.py consumes both):
 
-    The nibble/5th-bit unpack happens once on the host at load
-    (quant/blocks.py::unpack_codes); device memory is ~1.1 B/weight vs 2 for
-    bf16. Keeping the original 4/5-bit packing in HBM and unpacking in-kernel is
-    a further memory optimization left for a later round.
+    packed=False ("int8 SoA", all five formats):
+      codes: (out, in) int8, zero-point pre-subtracted for the symmetric
+             formats, so dequant is `codes*d` (+ `m` for q4_1/q5_1)
+
+    packed=True ("true 4-bit", q4_0/q4_1): codes keeps the ORIGINAL ggml nibble
+      packing, (out, in//2) uint8 — byte j of block b holds elements 32b+j (lo
+      nibble) and 32b+16+j (hi). The kernel never reassembles element order:
+      the activation's K axis is permuted once outside the kernel
+      (nibble_permutation) and the matmul runs as two half-K GEMMs over the
+      lo/hi nibble planes. HBM cost: 0.56 B/weight (vs 1.1 int8, 2 bf16).
+
+    d: (out, in//32) float32 per-block scales
+    m: (out, in//32) float32 per-block mins or None
     """
 
     codes: jnp.ndarray
@@ -55,28 +60,50 @@ class QuantLinear:
     m: jnp.ndarray | None
     ggml_type: int  # static
     shape: tuple[int, int]  # static (out, in)
+    packed: bool = False  # static
 
     def tree_flatten(self):
         children = (self.codes, self.d, self.m)
-        aux = (self.ggml_type, self.shape)
+        aux = (self.ggml_type, self.shape, self.packed)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         codes, d, m = children
-        return cls(codes=codes, d=d, m=m, ggml_type=aux[0], shape=aux[1])
+        return cls(
+            codes=codes, d=d, m=m, ggml_type=aux[0], shape=aux[1], packed=aux[2]
+        )
+
+
+_PACKED_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1)
 
 
 def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
-    from dinov2_tpu.quant.blocks import unpack_codes
+    from dinov2_tpu.quant.blocks import block_dtype, unpack_codes
 
     out_dim, in_dim = t.shape
-    codes, d, m = unpack_codes(t.data, GGMLType(t.ggml_type), t.shape)
+    gt = GGMLType(t.ggml_type)
+    if gt in _PACKED_TYPES:
+        # keep the raw nibble planes; only lift out scales/mins
+        nb = in_dim // 32
+        blocks = t.data.view(np.uint8).view(block_dtype(gt)).reshape(out_dim, nb)
+        d = jnp.asarray(blocks["d"].astype(np.float32))
+        m = (
+            jnp.asarray(blocks["m"].astype(np.float32))
+            if "m" in blocks.dtype.names
+            else None
+        )
+        qs = jnp.asarray(blocks["qs"].reshape(out_dim, in_dim // 2))
+        return QuantLinear(
+            codes=qs, d=d, m=m, ggml_type=int(gt), shape=(out_dim, in_dim),
+            packed=True,
+        )
+    codes, d, m = unpack_codes(t.data, gt, t.shape)
     return QuantLinear(
         codes=jnp.asarray(codes),
         d=jnp.asarray(d),
         m=jnp.asarray(m) if m is not None else None,
-        ggml_type=int(t.ggml_type),
+        ggml_type=int(gt),
         shape=(out_dim, in_dim),
     )
 

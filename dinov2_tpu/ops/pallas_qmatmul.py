@@ -17,6 +17,8 @@ accumulator carry between grid steps.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -97,6 +99,94 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# ---------------------------------------------------------------------------
+# True 4-bit path (packed q4_0/q4_1 nibbles stay packed in HBM)
+# ---------------------------------------------------------------------------
+#
+# ggml packs block elements 0..15 into the LOW nibbles of bytes 0..15 and
+# elements 16..31 into the HIGH nibbles. Reassembling that element order
+# in-kernel needs lane shuffles Mosaic dislikes; instead we PERMUTE THE
+# ACTIVATION's K axis once outside the kernel so that the lo-nibble plane and
+# hi-nibble plane are each contiguous half-K segments, and run two half-K
+# matmuls. A fixed permutation of the contraction axis applied to both operands
+# leaves the product unchanged.
+
+
+def _nibble_permutation(k: int) -> "np.ndarray":
+    import numpy as np
+
+    j = np.arange(k // 2)
+    lo = 32 * (j // 16) + (j % 16)  # element index of lo-plane position j
+    return np.concatenate([lo, lo + 16])
+
+
+def _expand_scales_half(d: jnp.ndarray, k2: int) -> jnp.ndarray:
+    """(bn, K/32) -> (bn, K/2): within a half-K nibble plane each 32-block
+    covers 16 consecutive lanes."""
+    bn, nb = d.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 1)
+    e = (cols // (QK // 2) == rows).astype(jnp.float32)
+    out = jax.lax.dot_general(
+        d.astype(jnp.float32), e, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.bfloat16)
+
+
+def _kernel_packed(x_ref, qs_ref, d_ref, o_ref, w_scr, *, zero: int, k2: int):
+    """x_ref: (bm, K) activations in nibble-permuted K order; qs_ref: (bn, K/2)
+    packed bytes; w_scr: (bn, K) dequantized [lo-plane | hi-plane] weights."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _dequant():
+        qs = qs_ref[:].astype(jnp.int32)
+        ds = _expand_scales_half(d_ref[:], k2)
+        lo = ((qs & 0xF) - zero).astype(jnp.bfloat16) * ds
+        hi = ((qs >> 4) - zero).astype(jnp.bfloat16) * ds
+        w_scr[:, :k2] = lo
+        w_scr[:, k2:] = hi
+
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:], w_scr[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _kernel_packed_affine(x_ref, qs_ref, d_ref, m_ref, o_ref, w_scr, *, k2: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _dequant():
+        qs = qs_ref[:].astype(jnp.int32)
+        ds = _expand_scales_half(d_ref[:], k2)
+        w_scr[:, :k2] = (qs & 0xF).astype(jnp.bfloat16) * ds
+        w_scr[:, k2:] = (qs >> 4).astype(jnp.bfloat16) * ds
+
+    x = x_ref[:]
+    acc = jax.lax.dot_general(
+        x, w_scr[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # per-32-block sums of the PERMUTED x: block b is lanes [16b,16b+16) of
+    # both the lo and hi half-planes
+    xf = x.astype(jnp.float32)
+    xs = _block_sums_half(xf[:, :k2] + xf[:, k2:])
+    acc = acc + jax.lax.dot_general(
+        xs, m_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _block_sums_half(xh: jnp.ndarray) -> jnp.ndarray:
+    """(bm, K/2) -> (bm, K/32) sums over consecutive groups of 16 lanes."""
+    bm, k2 = xh.shape
+    nb = k2 // (QK // 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 1)
+    e = (cols // (QK // 2) == rows).astype(jnp.float32)
+    return jax.lax.dot_general(
+        xh, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
 
 
@@ -151,6 +241,10 @@ def quant_matmul_pallas(
     mp = _round_up(m, bm)
     np_ = _round_up(n, bn)
 
+    if getattr(ql, "packed", False):
+        import numpy as np
+
+        x2 = jnp.take(x2, jnp.asarray(_nibble_permutation(k)), axis=1)
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
     codes, d, mm = ql.codes, ql.d, ql.m
@@ -164,19 +258,33 @@ def quant_matmul_pallas(
     # (at m==0) into VMEM scratch and reuses it across all M blocks
     grid = (np_ // bn, mp // bm)
     nb = k // QK
+    kc = codes.shape[1]  # k (int8 SoA) or k//2 (packed nibbles)
     in_specs = [
         pl.BlockSpec((bm, k), lambda n, m: (m, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bn, k), lambda n, m: (n, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, kc), lambda n, m: (n, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM),
     ]
     operands = [x2, codes, d]
-    kernel = _kernel_sym
-    if mm is not None:
+    if getattr(ql, "packed", False):
+        from dinov2_tpu.io.gguf import GGMLType
+
+        if mm is None:
+            zero = {GGMLType.Q4_0: 8}[GGMLType(ql.ggml_type)]
+            kernel = functools.partial(_kernel_packed, zero=zero, k2=k // 2)
+        else:
+            kernel = functools.partial(_kernel_packed_affine, k2=k // 2)
+            in_specs.append(
+                pl.BlockSpec((bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM)
+            )
+            operands.append(mm)
+    elif mm is not None:
         in_specs.append(
             pl.BlockSpec((bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM)
         )
         operands.append(mm)
         kernel = _kernel_affine
+    else:
+        kernel = _kernel_sym
 
     out = pl.pallas_call(
         kernel,
@@ -193,7 +301,7 @@ def quant_matmul_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * k,
-            bytes_accessed=mp * k * x.dtype.itemsize + np_ * k + np_ * nb * 4,
+            bytes_accessed=mp * k * x.dtype.itemsize + np_ * kc + np_ * nb * 4,
             transcendentals=0,
         ),
     )(*operands)

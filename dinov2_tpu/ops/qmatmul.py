@@ -21,11 +21,20 @@ import jax.numpy as jnp
 
 
 def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Decode a QuantLinear (int8 codes + per-block scales) to a dense (out, in)
-    weight on device: w = codes*d (+ m for the min/offset formats)."""
+    """Decode a QuantLinear to a dense (out, in) weight on device:
+    w = codes*d (+ m for the min/offset formats). Handles both the int8-SoA
+    layout and the packed-nibble layout (models/params.py::QuantLinear)."""
     out_dim, in_dim = ql.shape
     nb = in_dim // 32
-    q = ql.codes.astype(jnp.float32).reshape(out_dim, nb, 32)
+    if getattr(ql, "packed", False):
+        qs = ql.codes.reshape(out_dim, nb, 16)
+        lo = (qs & 0xF).astype(jnp.int32)
+        hi = (qs >> 4).astype(jnp.int32)
+        q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+        if ql.m is None:  # q4_0 zero point
+            q = q - 8.0
+    else:
+        q = ql.codes.astype(jnp.float32).reshape(out_dim, nb, 32)
     w = q * ql.d[..., None]
     if ql.m is not None:
         w = w + ql.m[..., None]

@@ -88,6 +88,32 @@ def test_pallas_qmatmul_matches_dequant(t, rng):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.15)
 
 
+@pytest.mark.parametrize("t", [GGMLType.Q4_0, GGMLType.Q4_1])
+def test_pallas_qmatmul_packed_nibbles(t, rng):
+    """True 4-bit path: nibbles stay packed; activation K-permutation trick."""
+    from dinov2_tpu.io.gguf import GGUFTensor
+    from dinov2_tpu.models.params import _soa_from_blocks
+
+    n, k, m = 160, 256, 24
+    w = (rng.standard_normal((n, k)) * 0.5).astype(np.float32)
+    raw = quantize(w, t)
+    ql = _soa_from_blocks(GGUFTensor("w", (n, k), t, raw))
+    assert ql.packed and ql.codes.shape == (n, k // 2)
+
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    want = np.asarray(x @ dequant_weight(ql, jnp.float32).T)
+    got = np.asarray(quant_matmul_pallas(x, ql, block_m=8, block_n=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.15)
+    # and the packed dequant itself matches the block decoder
+    from dinov2_tpu.quant.blocks import dequantize
+
+    np.testing.assert_allclose(
+        np.asarray(dequant_weight(ql, jnp.float32)),
+        dequantize(raw, t, (n, k)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_pallas_qmatmul_batched_shape(rng):
     ql = _make_ql(rng, 128, 64, GGMLType.Q8_0)
     x = jnp.asarray(rng.standard_normal((2, 5, 64)), jnp.float32)
