@@ -44,12 +44,15 @@ class QuantLinear:
       codes: (out, in) int8, zero-point pre-subtracted for the symmetric
              formats, so dequant is `codes*d` (+ `m` for q4_1/q5_1)
 
-    packed=True ("true 4-bit", q4_0/q4_1): codes keeps the ORIGINAL ggml nibble
-      packing, (out, in//2) uint8 — byte j of block b holds elements 32b+j (lo
-      nibble) and 32b+16+j (hi). The kernel never reassembles element order:
-      the activation's K axis is permuted once outside the kernel
+    packed=True ("true 4/5-bit", q4_0/q4_1/q5_0/q5_1): codes keeps the ORIGINAL
+      ggml nibble packing, (out, in//2) uint8 — byte j of block b holds elements
+      32b+j (lo nibble) and 32b+16+j (hi). The kernel never reassembles element
+      order: the activation's K axis is permuted once outside the kernel
       (nibble_permutation) and the matmul runs as two half-K GEMMs over the
-      lo/hi nibble planes. HBM cost: 0.56 B/weight (vs 1.1 int8, 2 bf16).
+      lo/hi nibble planes. For the q5 formats the per-element 5th bits travel as
+      two uint16 planes qh_lo/qh_hi (out, in//32) — values ≤ 65535 broadcast
+      EXACTLY through an f32 indicator matmul in-kernel, then a variable vector
+      shift extracts each lane's bit. HBM cost: 0.56-0.69 B/weight.
 
     d: (out, in//32) float32 per-block scales
     m: (out, in//32) float32 per-block mins or None
@@ -61,21 +64,24 @@ class QuantLinear:
     ggml_type: int  # static
     shape: tuple[int, int]  # static (out, in)
     packed: bool = False  # static
+    qh_lo: jnp.ndarray | None = None  # (out, in//32) uint16, q5 packed only
+    qh_hi: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        children = (self.codes, self.d, self.m)
+        children = (self.codes, self.d, self.m, self.qh_lo, self.qh_hi)
         aux = (self.ggml_type, self.shape, self.packed)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        codes, d, m = children
+        codes, d, m, qh_lo, qh_hi = children
         return cls(
-            codes=codes, d=d, m=m, ggml_type=aux[0], shape=aux[1], packed=aux[2]
+            codes=codes, d=d, m=m, ggml_type=aux[0], shape=aux[1], packed=aux[2],
+            qh_lo=qh_lo, qh_hi=qh_hi,
         )
 
 
-_PACKED_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1)
+_PACKED_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1)
 
 
 def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
@@ -84,7 +90,7 @@ def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
     out_dim, in_dim = t.shape
     gt = GGMLType(t.ggml_type)
     if gt in _PACKED_TYPES:
-        # keep the raw nibble planes; only lift out scales/mins
+        # keep the raw nibble planes; only lift out scales/mins (+5th bits)
         nb = in_dim // 32
         blocks = t.data.view(np.uint8).view(block_dtype(gt)).reshape(out_dim, nb)
         d = jnp.asarray(blocks["d"].astype(np.float32))
@@ -93,10 +99,15 @@ def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
             if "m" in blocks.dtype.names
             else None
         )
+        qh_lo = qh_hi = None
+        if "qh" in blocks.dtype.names:
+            qh = blocks["qh"]
+            qh_lo = jnp.asarray((qh & 0xFFFF).astype(np.uint16))
+            qh_hi = jnp.asarray((qh >> 16).astype(np.uint16))
         qs = jnp.asarray(blocks["qs"].reshape(out_dim, in_dim // 2))
         return QuantLinear(
             codes=qs, d=d, m=m, ggml_type=int(gt), shape=(out_dim, in_dim),
-            packed=True,
+            packed=True, qh_lo=qh_lo, qh_hi=qh_hi,
         )
     codes, d, m = unpack_codes(t.data, gt, t.shape)
     return QuantLinear(

@@ -134,45 +134,79 @@ def _expand_scales_half(d: jnp.ndarray, k2: int) -> jnp.ndarray:
     return out.astype(jnp.bfloat16)
 
 
-def _kernel_packed(x_ref, qs_ref, d_ref, o_ref, w_scr, *, zero: int, k2: int):
-    """x_ref: (bm, K) activations in nibble-permuted K order; qs_ref: (bn, K/2)
-    packed bytes; w_scr: (bn, K) dequantized [lo-plane | hi-plane] weights."""
+def _fifth_bits(qh_ref, k2: int) -> jnp.ndarray:
+    """(bn, K/32) uint16 5th-bit words -> (bn, K/2) f32 0/1 bit per lane.
 
-    @pl.when(pl.program_id(1) == 0)
-    def _dequant():
-        qs = qs_ref[:].astype(jnp.int32)
-        ds = _expand_scales_half(d_ref[:], k2)
-        lo = ((qs & 0xF) - zero).astype(jnp.bfloat16) * ds
-        hi = ((qs >> 4) - zero).astype(jnp.bfloat16) * ds
-        w_scr[:, :k2] = lo
-        w_scr[:, k2:] = hi
-
-    o_ref[:] = jax.lax.dot_general(
-        x_ref[:], w_scr[...], (((1,), (1,)), ((), ())),
+    The u16 word broadcasts EXACTLY through an f32 indicator matmul (values
+    ≤ 65535 < 2^24); the per-lane bit is then floor(word * 2^-lane%16) mod 2 —
+    pure f32 VPU ops, no variable integer shifts for Mosaic to choke on."""
+    bn, nb = qh_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 1)
+    e = (cols // (QK // 2) == rows).astype(jnp.float32)
+    words = jax.lax.dot_general(
+        qh_ref[:].astype(jnp.float32), e, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )  # (bn, k2)
+    shift = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1) % (QK // 2)
+    # exact 2^-shift via a 16-way select: jnp.exp2 on arrays lowers through
+    # exp(x*ln2) and is NOT exact (8192 * fl(2^-13) floors to 0, dropping bits)
+    scale = jnp.zeros_like(words)
+    for i in range(QK // 2):
+        scale = scale + jnp.where(shift == i, jnp.float32(2.0**-i), 0.0)
+    return jnp.mod(jnp.floor(words * scale), 2.0)
 
 
-def _kernel_packed_affine(x_ref, qs_ref, d_ref, m_ref, o_ref, w_scr, *, k2: int):
-    @pl.when(pl.program_id(1) == 0)
-    def _dequant():
-        qs = qs_ref[:].astype(jnp.int32)
-        ds = _expand_scales_half(d_ref[:], k2)
-        w_scr[:, :k2] = (qs & 0xF).astype(jnp.bfloat16) * ds
-        w_scr[:, k2:] = (qs >> 4).astype(jnp.bfloat16) * ds
+def _dequant_packed_halves(qs_ref, d_ref, qhlo_ref, qhhi_ref, zero: int, k2: int):
+    """Shared packed dequant: returns the (bn, K/2) lo/hi bf16 weight planes."""
+    qs = qs_ref[:].astype(jnp.int32)
+    ds = _expand_scales_half(d_ref[:], k2)
+    lo = (qs & 0xF).astype(jnp.float32)
+    hi = (qs >> 4).astype(jnp.float32)
+    if qhlo_ref is not None:
+        lo = lo + 16.0 * _fifth_bits(qhlo_ref, k2)
+        hi = hi + 16.0 * _fifth_bits(qhhi_ref, k2)
+    wlo = (lo - zero).astype(jnp.bfloat16) * ds
+    whi = (hi - zero).astype(jnp.bfloat16) * ds
+    return wlo, whi
 
-    x = x_ref[:]
-    acc = jax.lax.dot_general(
-        x, w_scr[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    # per-32-block sums of the PERMUTED x: block b is lanes [16b,16b+16) of
-    # both the lo and hi half-planes
-    xf = x.astype(jnp.float32)
-    xs = _block_sums_half(xf[:, :k2] + xf[:, k2:])
-    acc = acc + jax.lax.dot_general(
-        xs, m_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[:] = acc.astype(o_ref.dtype)
+
+def _make_packed_kernel(zero: int, k2: int, has_m: bool, has_qh: bool):
+    def kernel(*refs):
+        x_ref, qs_ref, d_ref = refs[0], refs[1], refs[2]
+        i = 3
+        m_ref = refs[i] if has_m else None
+        i += int(has_m)
+        qhlo_ref = refs[i] if has_qh else None
+        qhhi_ref = refs[i + 1] if has_qh else None
+        i += 2 * int(has_qh)
+        o_ref, w_scr = refs[i], refs[i + 1]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _dequant():
+            wlo, whi = _dequant_packed_halves(
+                qs_ref, d_ref, qhlo_ref, qhhi_ref, zero, k2
+            )
+            w_scr[:, :k2] = wlo
+            w_scr[:, k2:] = whi
+
+        x = x_ref[:]
+        acc = jax.lax.dot_general(
+            x, w_scr[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if has_m:
+            # per-32-block sums of the PERMUTED x: block b is lanes
+            # [16b, 16b+16) of both the lo and hi half-planes
+            xf = x.astype(jnp.float32)
+            xs = _block_sums_half(xf[:, :k2] + xf[:, k2:])
+            acc = acc + jax.lax.dot_general(
+                xs, m_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+    return kernel
 
 
 def _block_sums_half(xh: jnp.ndarray) -> jnp.ndarray:
@@ -268,15 +302,27 @@ def quant_matmul_pallas(
     if getattr(ql, "packed", False):
         from dinov2_tpu.io.gguf import GGMLType
 
-        if mm is None:
-            zero = {GGMLType.Q4_0: 8}[GGMLType(ql.ggml_type)]
-            kernel = functools.partial(_kernel_packed, zero=zero, k2=k // 2)
-        else:
-            kernel = functools.partial(_kernel_packed_affine, k2=k // 2)
+        gt = GGMLType(ql.ggml_type)
+        zero = {GGMLType.Q4_0: 8, GGMLType.Q5_0: 16}.get(gt, 0)
+        has_qh = ql.qh_lo is not None
+        if mm is not None:
             in_specs.append(
                 pl.BlockSpec((bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM)
             )
             operands.append(mm)
+        if has_qh:
+            qh_lo, qh_hi = ql.qh_lo, ql.qh_hi
+            if np_ != n:
+                qh_lo = jnp.pad(qh_lo, ((0, np_ - n), (0, 0)))
+                qh_hi = jnp.pad(qh_hi, ((0, np_ - n), (0, 0)))
+            for qh in (qh_lo, qh_hi):
+                in_specs.append(
+                    pl.BlockSpec(
+                        (bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM
+                    )
+                )
+                operands.append(qh)
+        kernel = _make_packed_kernel(zero, k // 2, mm is not None, has_qh)
     elif mm is not None:
         in_specs.append(
             pl.BlockSpec((bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM)

@@ -30,9 +30,15 @@ def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
         qs = ql.codes.reshape(out_dim, nb, 16)
         lo = (qs & 0xF).astype(jnp.int32)
         hi = (qs >> 4).astype(jnp.int32)
+        if ql.qh_lo is not None:  # q5 formats: merge the 5th-bit planes
+            shifts = jnp.arange(16, dtype=jnp.uint32)
+            bits_lo = ((ql.qh_lo.astype(jnp.uint32)[..., None] >> shifts) & 1)
+            bits_hi = ((ql.qh_hi.astype(jnp.uint32)[..., None] >> shifts) & 1)
+            lo = lo | (bits_lo << 4).astype(jnp.int32)
+            hi = hi | (bits_hi << 4).astype(jnp.int32)
         q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
-        if ql.m is None:  # q4_0 zero point
-            q = q - 8.0
+        if ql.m is None:  # symmetric zero points
+            q = q - (16.0 if ql.qh_lo is not None else 8.0)
     else:
         q = ql.codes.astype(jnp.float32).reshape(out_dim, nb, 32)
     w = q * ql.d[..., None]
