@@ -81,7 +81,10 @@ class QuantLinear:
         )
 
 
-_PACKED_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1)
+# q5_1 stays on the int8-codes layout: its packed kernel (5th-bit planes + the
+# affine blocksum correction combined) crashes the v5e Mosaic compiler; the
+# other four formats run fully packed (see ops/pallas_qmatmul.py).
+_PACKED_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0)
 
 
 def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:

@@ -144,8 +144,9 @@ def _fifth_bits(qh_ref, k2: int) -> jnp.ndarray:
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 1)
     e = (cols // (QK // 2) == rows).astype(jnp.float32)
+    # Mosaic has no u16->f32 cast; hop through int32 (values <= 65535, exact)
     words = jax.lax.dot_general(
-        qh_ref[:].astype(jnp.float32), e, (((1,), (0,)), ((), ())),
+        qh_ref[:].astype(jnp.int32).astype(jnp.float32), e, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bn, k2)
     shift = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1) % (QK // 2)
