@@ -1,18 +1,22 @@
-"""Pallas fused dequant-matmul: y = x @ Wᵀ with W as int8 codes + block scales.
+"""Pallas fused dequant-matmul: y = x @ Wᵀ with W kept quantized in HBM.
 
-The TPU analog of ggml's quantized matmul kernels (SURVEY.md C23): the weight
-stays quantized in HBM; each grid step DMAs an int8 code tile + its f32 scales
-into VMEM, dequantizes in-register (codes*d (+m), block size 32 along the
-contraction axis), and feeds the MXU — the dense bf16 weight never exists in
-HBM.
+The TPU analog of ggml's quantized matmul kernels (SURVEY.md C23): the dense
+bf16 weight never exists in HBM. Two weight layouts (models/params.py):
 
-Layout notes (see quant/blocks.py::unpack_codes): codes are (out, in) int8 with
-zero-points pre-subtracted, scales (out, in/32) f32. The scale broadcast uses
-pltpu.repeat along the lane axis.
+  int8 SoA (q5_1, and any format on demand): codes (out, in) int8 with
+    zero-points pre-subtracted + f32 per-block scales (+ mins). ~1.1 B/weight.
 
-Grid: (M/bm, N/bn); the full contraction K rides inside one program (DINOv2 K ≤
-~8k → an int8 (bn, K) tile is ≤ 2 MB, well inside VMEM), so there is no
-accumulator carry between grid steps.
+  packed (q4_0/q4_1/q5_0): the ORIGINAL ggml nibble packing (out, in/2) uint8
+    (+ u16 5th-bit planes for q5_0). The activation's K axis is permuted once
+    outside the kernel so each nibble plane is a contiguous half-K segment —
+    no in-kernel lane shuffles. 0.56-0.69 B/weight, ggml-parity footprint.
+
+Grid: (N/bn, M/bm) with M INNER — each weight tile is dequantized ONCE into
+VMEM scratch (at m==0) and reused across all M blocks; the full contraction K
+rides inside one program (DINOv2 K ≤ ~8k fits VMEM easily). Scale/bit
+broadcasts are expressed as iota-indicator matmuls: jnp.repeat,
+broadcast+reshape, u16 casts, and array jnp.exp2 all miscompile or are
+unsupported on the v5e Mosaic compiler (see docs/TPU_NOTES.md).
 """
 
 from __future__ import annotations
@@ -277,8 +281,6 @@ def quant_matmul_pallas(
     np_ = _round_up(n, bn)
 
     if getattr(ql, "packed", False):
-        import numpy as np
-
         x2 = jnp.take(x2, jnp.asarray(_nibble_permutation(k)), axis=1)
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
