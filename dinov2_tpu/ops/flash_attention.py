@@ -114,6 +114,7 @@ def _pick_blocks(t: int, hd: int, block_q: int) -> tuple[int, int, int]:
     return min(candidates, key=lambda p: (p[2], -p[0]))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -122,7 +123,16 @@ def flash_attention(
     block_q: int = 512,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """(B, T, H, hd) q/k/v -> (B, T, H, hd), numerics-matched to vanilla MHSA."""
+    """(B, T, H, hd) q/k/v -> (B, T, H, hd), numerics-matched to vanilla MHSA.
+
+    Differentiable: the custom VJP runs the fused Pallas kernel forward and a
+    recompute-based backward through the reference softmax-attention math (the
+    flash forward saves only q/k/v — the same memory profile as full remat; at
+    ViT sequence lengths the (T, T) backward intermediates are cheap)."""
+    return _flash_forward(q, k, v, scale, block_q, interpret)
+
+
+def _flash_forward(q, k, v, scale, block_q=512, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -166,3 +176,18 @@ def flash_attention(
 
     out = out[:, :t].reshape(b, h, t, hd).transpose(0, 2, 1, 3)
     return out
+
+
+def _flash_fwd(q, k, v, scale, block_q, interpret):
+    return _flash_forward(q, k, v, scale, block_q, interpret), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, interpret, residuals, g):
+    from dinov2_tpu.ops.attention import vanilla_attention
+
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: vanilla_attention(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

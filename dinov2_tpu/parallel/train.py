@@ -37,12 +37,6 @@ class Trainer:
     preprocess_in_step: bool = True
 
     def __post_init__(self):
-        # the Pallas flash kernel has no VJP yet (TODO.md): training always
-        # takes the differentiable vanilla attention path
-        if self.opts.flash_attention is not False:
-            import dataclasses
-
-            self.opts = dataclasses.replace(self.opts, flash_attention=False)
         cfg, opts = self.config, self.opts
 
         def loss_fn(params, images, labels):

@@ -63,6 +63,29 @@ def test_flash_multi_kv_block_online_softmax(rng, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_flash_gradients_match_vanilla(rng):
+    """custom_vjp: grads through the flash path equal the vanilla-math grads."""
+    import jax
+
+    b, t, h, hd = 1, 130, 2, 32
+    q, k, v = [
+        jnp.asarray(rng.standard_normal((b, t, h, hd)), jnp.float32)
+        for _ in range(3)
+    ]
+    scale = 1.0 / hd**0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale, 128, True) ** 2)
+
+    def loss_vanilla(q, k, v):
+        return jnp.sum(vanilla_attention(q, k, v, scale) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gv = jax.grad(loss_vanilla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
 def _make_ql(rng, n, k, t):
     w = (rng.standard_normal((n, k)) * 0.5).astype(np.float32)
     raw = quantize(w, t)
