@@ -23,29 +23,25 @@ import numpy as np
 RESULTS: dict = {}
 
 
-def timed(fn, *args, iters=20, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def scan_timed(body, x, iters=20, repeats=2):
+    """Robust under the axon tunnel (docs/TPU_NOTES.md): one jitted scan with a
+    data-dependent carry, FRESH input per repeat, scalar transfer to force
+    completion, min over repeats."""
 
-
-def scan_timed(body, x, iters=20):
     @jax.jit
     def loop(x):
-        def f(c, _):
-            return body(c)
         c, _ = jax.lax.scan(lambda c, _: (body(c), 0.0), x, None, length=iters)
-        return c
+        return jnp.sum(c)
 
     jax.block_until_ready(loop(x))
-    t0 = time.perf_counter()
-    jax.block_until_ready(loop(x))
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for r in range(repeats):
+        xf = x * (1.0 + 1e-6 * (r + 1))
+        jax.block_until_ready(xf)
+        t0 = time.perf_counter()
+        float(loop(xf))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def bench_forward():
@@ -104,12 +100,18 @@ def bench_qmatmul():
     wd = jnp.asarray(w.T, jnp.bfloat16)
     out = {}
 
-    dense = jax.jit(
-        lambda x: jnp.dot(x, wd, preferred_element_type=jnp.float32).astype(
-            jnp.bfloat16
-        )
+    def matmul_body(fn):
+        # chain output back into the (m, k) input so the scan is data-dependent
+        def body(c):
+            y = fn(c)  # (m, n)
+            return c + (1e-8 * jnp.mean(y)).astype(c.dtype)
+
+        return body
+
+    dense = lambda c: jnp.dot(c, wd, preferred_element_type=jnp.float32).astype(
+        jnp.bfloat16
     )
-    dt = timed(dense, x, iters=50)
+    dt = scan_timed(matmul_body(dense), x, iters=50)
     out["dense_bf16"] = {"ms": round(dt * 1e3, 4), "tflops": round(2 * m * n * k / dt / 1e12, 1)}
     print("dense", out["dense_bf16"], flush=True)
 
@@ -123,22 +125,18 @@ def bench_qmatmul():
             ggml_type=int(t_),
             shape=(n, k),
         )
-        g_xla = jax.jit(
-            lambda x: jnp.dot(
-                x, dequant_weight(ql, jnp.bfloat16).T, preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16)
-        )
+        g_xla = lambda c, ql=ql: jnp.dot(
+            c, dequant_weight(ql, jnp.bfloat16).T, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
         entry = {}
-        dt = timed(g_xla, x, iters=50)
+        dt = scan_timed(matmul_body(g_xla), x, iters=50)
         entry["xla_dequant_ms"] = round(dt * 1e3, 4)
-        for bm, bn in [(512, 512), (1024, 768), (2048, 768), (2048, 256)]:
+        for bm, bn in [(512, 512), (1024, 768)]:
             try:
-                g = jax.jit(
-                    lambda x, bm=bm, bn=bn: quant_matmul_pallas(
-                        x, ql, block_m=bm, block_n=bn
-                    )
+                g = lambda c, ql=ql, bm=bm, bn=bn: quant_matmul_pallas(
+                    c, ql, block_m=bm, block_n=bn
                 )
-                dt = timed(g, x, iters=50)
+                dt = scan_timed(matmul_body(g), x, iters=50)
                 entry[f"pallas_{bm}x{bn}_ms"] = round(dt * 1e3, 4)
             except Exception as e:  # noqa: BLE001
                 entry[f"pallas_{bm}x{bn}_ms"] = f"FAILED {str(e)[:80]}"
@@ -164,11 +162,13 @@ def bench_attention():
         scale = 1 / hd**0.5
         entry = {}
         for name, fn in [
-            ("flash", jax.jit(lambda q, k, v: flash_attention(q, k, v, scale))),
-            ("vanilla", jax.jit(lambda q, k, v: vanilla_attention(q, k, v, scale))),
+            ("flash", lambda c: flash_attention(c, c, c, scale)),
+            ("vanilla", lambda c: vanilla_attention(c, c, c, scale)),
         ]:
             try:
-                dt = timed(fn, q, k, v, iters=30)
+                dt = scan_timed(
+                    lambda c, fn=fn: fn(c) * 0.5 + c * 0.5, q, iters=30
+                )
                 entry[name + "_ms"] = round(dt * 1e3, 3)
             except Exception as e:  # noqa: BLE001
                 entry[name + "_ms"] = f"FAILED {str(e)[:80]}"
