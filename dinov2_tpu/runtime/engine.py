@@ -181,7 +181,10 @@ class DinoEngine:
     # ------------------------------------------------------------------
     def extract_features(self, images) -> dict[str, Any]:
         """Feature mode: preprocess (patch-multiple resize), forward, return
-        cls_token (B, D), patch_tokens (B, N, D) and the patch grid."""
+        cls_token (B, D), patch_tokens (B, N, D) and the patch grid.
+
+        Images must share one size (the patch grid is shape-defining); use
+        extract_features_mixed for a mixed-size list."""
         batch = self._stack_batch(images)
         x, n = self._device_batch(batch)
         p = self.config.patch_size
@@ -200,6 +203,22 @@ class DinoEngine:
             "patch_tokens": np.asarray(out["patch_tokens"])[:n],
             "grid": (gh, gw),
         }
+
+    def extract_features_mixed(self, images) -> list[dict[str, Any]]:
+        """Mixed-size feature extraction: groups by (H, W), one batched forward
+        per group (grids differ per size, so outputs are per-image dicts)."""
+        groups = self._group_by_shape(images)
+        n_total = sum(len(idxs) for idxs, _ in groups)
+        results: list[dict[str, Any] | None] = [None] * n_total
+        for idxs, batch in groups:
+            feats = self.extract_features(batch)
+            for row, i in enumerate(idxs):
+                results[i] = {
+                    "cls_token": feats["cls_token"][row],
+                    "patch_tokens": feats["patch_tokens"][row],
+                    "grid": feats["grid"],
+                }
+        return results  # type: ignore[return-value]
 
     # ------------------------------------------------------------------
     def _pca_full(

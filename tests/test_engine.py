@@ -71,6 +71,23 @@ def test_engine_features_and_pca(tiny_gguf, rng):
     assert vis.min() == 0 and vis.max() == 255  # min-max normalized
 
 
+def test_engine_features_mixed_sizes(tiny_gguf, rng):
+    engine = DinoEngine(tiny_gguf, dtype=jnp.float32)
+    imgs = [
+        rng.integers(0, 256, (100, 120, 3), dtype=np.uint8),
+        rng.integers(0, 256, (64, 64, 3), dtype=np.uint8),
+        rng.integers(0, 256, (100, 120, 3), dtype=np.uint8),
+    ]
+    feats = engine.extract_features_mixed(imgs)
+    assert len(feats) == 3
+    assert feats[0]["grid"] == (100 // 14 + 1, 120 // 14 + 1)
+    assert feats[1]["grid"] == (64 // 14 + 1, 64 // 14 + 1)
+    single = engine.extract_features(imgs[1])
+    np.testing.assert_allclose(
+        feats[1]["cls_token"], single["cls_token"][0], rtol=1e-5, atol=1e-6
+    )
+
+
 def test_engine_features_518px(tiny_gguf, rng):
     """The reference's headline feature config: 518px input -> 37x37(+1) grid
     (quirk Q4 rounds 518 up to 38x38 patches of 14)."""
