@@ -143,6 +143,28 @@ def test_fused_quant_mode_matches_dequant(tiny_gguf, tmp_path, rng):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_quantize_cli_integer_type_id(tiny_gguf, tmp_path):
+    """The reference CLI takes ggml integer type ids (quantize.cpp argv)."""
+    from dinov2_tpu.cli import quantize as qcli
+
+    out = tmp_path / "by-id.gguf"
+    assert qcli.main([str(tiny_gguf), str(out), "8"]) == 0
+    r = GGUFReader(out)
+    assert GGMLType(r.kv["ftype"]) == GGMLType.Q8_0
+    r.close()
+
+
+def test_presets_sanity():
+    from dinov2_tpu.models.config import PRESETS
+
+    assert PRESETS["small"].hidden_size == 384
+    assert PRESETS["base"].head_dim == 64
+    assert PRESETS["large"].num_hidden_layers == 24
+    giant = PRESETS["giant"]
+    assert giant.swiglu and giant.swiglu_hidden == 4096
+    assert giant.n_img_embd == 37  # 518 / 14
+
+
 def test_registers_and_swiglu_synthetic(tmp_path, rng):
     cfg = DinoConfig(
         hidden_size=64,

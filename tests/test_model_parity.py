@@ -149,6 +149,39 @@ def test_registers_parity(tmp_path, torch_seed):
     )
 
 
+def test_registers_classifier_parity(tmp_path, torch_seed):
+    """Registers + classifier together: pooling must include register tokens
+    (quirk Q5) exactly as HF does."""
+    from transformers import (
+        Dinov2WithRegistersConfig,
+        Dinov2WithRegistersForImageClassification,
+    )
+
+    cfg = Dinov2WithRegistersConfig(
+        hidden_size=HIDDEN,
+        num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS,
+        intermediate_size=INTER,
+        image_size=IMG,
+        patch_size=PATCH,
+        num_register_tokens=4,
+        num_labels=5,
+        attn_implementation="eager",
+    )
+    cfg.id2label = {i: f"class_{i}" for i in range(5)}
+    model = _halve(Dinov2WithRegistersForImageClassification(cfg))
+    path = convert_hf_model(model, tmp_path / "rc.gguf")
+    loaded = load_params(path, dtype=jnp.float32)
+    assert loaded.config.num_register_tokens == 4 and loaded.has_classifier
+
+    pixel_values = torch.randn(2, 3, IMG, IMG)
+    torch_out, jax_out = _run_both(model, loaded, pixel_values, classify=True)
+    want = torch.softmax(torch_out.logits, dim=-1).numpy()
+    np.testing.assert_allclose(
+        np.asarray(jax_out["probs"]), want, rtol=1e-3, atol=1e-5
+    )
+
+
 def test_swiglu_parity(tmp_path, torch_seed):
     from transformers import Dinov2Model
 
