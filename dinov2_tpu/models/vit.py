@@ -164,16 +164,21 @@ def head_logits(
 ) -> jnp.ndarray:
     """Final tokens -> classifier logits (B, num_classes), f32.
 
-    Classify-mode pooling includes register tokens (quirk Q5) and, in reference
-    parity mode, divides by the model-grid patch count n_img_embd² rather than the
-    runtime patch count (quirk Q3, dinov2.cpp:800-803).
+    Parity divergence on pooling:
+      - "reference": registers INCLUDED (dinov2.cpp:770-776, quirk Q5) and the
+        divisor is the MODEL-grid patch count n_img_embd², not the runtime
+        count (quirk Q3, dinov2.cpp:800-803).
+      - "hf": registers EXCLUDED (Dinov2WithRegistersForImageClassification:
+        "cls and register tokens should not be included in patch tokens") and a
+        true mean. The reference's include-registers behavior matches an older
+        transformers version; current HF differs.
     """
     cls = tokens[:, 0]
-    patch = tokens[:, 1:]  # registers INCLUDED for pooling
     if opts.parity == "reference":
-        divisor = float(config.n_img_embd**2)
-        pooled = patch.sum(axis=1) / divisor
+        patch = tokens[:, 1:]  # registers included
+        pooled = patch.sum(axis=1) / float(config.n_img_embd**2)
     else:
+        patch = tokens[:, 1 + config.num_register_tokens :]
         pooled = patch.mean(axis=1)
     feats = jnp.concatenate([cls, pooled], axis=-1)
     return apply_linear(feats, params["classifier"]).astype(jnp.float32)
