@@ -1,0 +1,39 @@
+"""scripts/verify_parity.py end-to-end with a locally-saved HF checkpoint
+(no network: from_pretrained on a directory)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import torch
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_verify_parity_local_checkpoint(tmp_path):
+    from transformers import Dinov2Config, Dinov2ForImageClassification
+
+    torch.manual_seed(5)
+    cfg = Dinov2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, image_size=28, patch_size=7, num_labels=5,
+        attn_implementation="eager",
+    )
+    cfg.id2label = {i: f"c{i}" for i in range(5)}
+    model = Dinov2ForImageClassification(cfg)
+    # the script keys classifier handling off "imagenet" in the name
+    local = tmp_path / "dinov2-tiny-imagenet-local"
+    model.save_pretrained(local)
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts" / "verify_parity.py"),
+            "--model_name", str(local),
+        ],
+        capture_output=True, text=True, timeout=900,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root", "HF_HUB_OFFLINE": "1"},
+    )
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    assert "PARITY OK" in r.stdout
