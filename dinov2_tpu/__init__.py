@@ -10,10 +10,21 @@ __version__ = "0.1.0"
 
 _LAZY = {
     "DinoConfig": "dinov2_tpu.models.config",
+    "PRESETS": "dinov2_tpu.models.config",
     "DinoEngine": "dinov2_tpu.runtime.engine",
+    "BatchingServer": "dinov2_tpu.runtime.server",
     "GGUFReader": "dinov2_tpu.io.gguf",
     "GGUFWriter": "dinov2_tpu.io.gguf",
     "GGMLType": "dinov2_tpu.io.gguf",
+    "load_params": "dinov2_tpu.models.params",
+    "init_params": "dinov2_tpu.models.params",
+    "forward": "dinov2_tpu.models.vit",
+    "ModelOptions": "dinov2_tpu.models.vit",
+    "quantize_gguf": "dinov2_tpu.quant.quantize",
+    "export_gguf": "dinov2_tpu.io.export",
+    "convert_hf_model": "dinov2_tpu.io.convert",
+    "make_trainer": "dinov2_tpu.parallel.train",
+    "make_mesh": "dinov2_tpu.parallel.mesh",
 }
 
 
