@@ -23,23 +23,27 @@ import numpy as np
 RESULTS: dict = {}
 
 
-def scan_timed(body, x, iters=20, repeats=2):
+def scan_timed(body, x, iters=20, repeats=2, params=None):
     """Robust under the axon tunnel (docs/TPU_NOTES.md): one jitted scan with a
     data-dependent carry, FRESH input per repeat, scalar transfer to force
-    completion, min over repeats."""
+    completion, min over repeats. Pass weight pytrees via `params` — closures
+    embed them as HLO constants (huge compile payloads; see TPU_NOTES)."""
 
     @jax.jit
-    def loop(x):
-        c, _ = jax.lax.scan(lambda c, _: (body(c), 0.0), x, None, length=iters)
+    def loop(params, x):
+        c, _ = jax.lax.scan(
+            lambda c, _: (body(c) if params is None else body(params, c), 0.0),
+            x, None, length=iters,
+        )
         return jnp.sum(c)
 
-    jax.block_until_ready(loop(x))
+    jax.block_until_ready(loop(params, x))
     best = float("inf")
     for r in range(repeats):
         xf = x * (1.0 + 1e-6 * (r + 1))
         jax.block_until_ready(xf)
         t0 = time.perf_counter()
-        float(loop(xf))
+        float(loop(params, xf))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 
@@ -68,13 +72,13 @@ def bench_forward():
                     rng.standard_normal((b, px, px, 3)), dtype=jnp.float32
                 )
 
-                def body(c):
+                def body(params, c):
                     o = forward(params, c, cfg, opts, classify=classify)
                     probe = o["probs"] if classify else o["cls_token"]
                     return c + (1e-8 * jnp.mean(probe)).astype(c.dtype)
 
                 try:
-                    dt = scan_timed(body, x, iters=10)
+                    dt = scan_timed(body, x, iters=10, params=params)
                     key = f"{preset}-{px}px-b{b}-{'flash' if flash else 'vanilla'}"
                     out[key] = {
                         "ms_per_batch": round(dt * 1e3, 3),
