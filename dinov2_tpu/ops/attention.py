@@ -49,14 +49,15 @@ def vanilla_attention(
 def use_flash(flash, t: int, d: int) -> bool:
     """Resolve the attention-path choice. "auto" picks per shape from v5e
     measurements (docs/TPU_NOTES.md): the Pallas kernel wins at long sequences
-    (518px feature mode) and for narrow models (ViT-S); XLA's fused vanilla path
-    wins for wide models at short sequences (224px classify). Non-TPU backends
-    always take the vanilla path (Pallas would run interpreted)."""
+    (518px feature mode and beyond, where the (T, T) softmax gets expensive or
+    impossible); XLA's fused vanilla path wins at classify-length sequences for
+    every model width. Non-TPU backends always take the vanilla path (Pallas
+    would run interpreted)."""
     if isinstance(flash, bool):
         return flash
     if jax.default_backend() != "tpu":
         return False
-    return t >= 1024 or d <= 384
+    return t >= 1024
 
 
 def self_attention(
