@@ -37,6 +37,9 @@ class Trainer:
     preprocess_in_step: bool = True
 
     def __post_init__(self):
+        from dinov2_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         cfg, opts = self.config, self.opts
 
         def loss_fn(params, images, labels):

@@ -55,6 +55,9 @@ class DinoEngine:
         """mesh_axes: explicit mesh, e.g. {'data': 4, 'model': 2} — batch sharded
         on 'data', weights Megatron-sharded on 'model' (giant-model latency).
         data_parallel=True is shorthand for a 1-D all-device 'data' mesh."""
+        from dinov2_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         if quant_mode == "fused" and (mesh_axes or data_parallel):
             from dinov2_tpu.utils.logging import get_logger
 

@@ -1,0 +1,34 @@
+"""Persistent XLA compilation cache.
+
+First-run compiles dominate CLI cold starts (~2-40 s depending on model);
+the persistent cache cuts repeat launches to milliseconds (measured 1.99 s ->
+0.27 s for ViT-S through the remote-compile tunnel). Enabled by the engine and
+training CLIs; opt out with DINOV2_TPU_NO_CACHE=1, relocate with
+DINOV2_TPU_CACHE_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_enabled = False
+
+
+def enable_compilation_cache() -> None:
+    global _enabled
+    if _enabled or os.environ.get("DINOV2_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "DINOV2_TPU_CACHE_DIR",
+            str(Path.home() / ".cache" / "dinov2_tpu" / "jax"),
+        )
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _enabled = True
+    except Exception:  # cache is best-effort; never block inference on it
+        pass
