@@ -135,6 +135,16 @@ def _dense(t: GGUFTensor, dtype) -> jnp.ndarray:
     return jnp.asarray(t.as_numpy(), dtype=dtype)
 
 
+def _upload_f16(t: GGUFTensor, dtype) -> jnp.ndarray:
+    """Upload an F16 tensor's raw mmap bytes directly (no host fp16->f32
+    expansion, half the host->device transfer) and cast on device. Falls back
+    to the host path for non-F16 types or f32 targets."""
+    if t.ggml_type != GGMLType.F16 or dtype == jnp.float32:
+        return jnp.asarray(t.as_numpy(), dtype=dtype)
+    raw = t.data.view("<f2").reshape(t.shape)
+    return jnp.asarray(raw).astype(dtype)
+
+
 def _linear(
     tensors: dict[str, GGUFTensor], name: str, dtype, quant_mode: str
 ) -> dict[str, Any]:
@@ -144,6 +154,9 @@ def _linear(
     out: dict[str, Any] = {}
     if w.ggml_type in QUANTIZED_TYPES and quant_mode == "fused":
         out["kernel"] = _soa_from_blocks(w)  # kept (out, in); kernel transposes
+    elif w.ggml_type == GGMLType.F16 and dtype != jnp.float32:
+        # transpose on device too: the host-side .T would force an f16 copy
+        out["kernel"] = _upload_f16(w, dtype).T
     else:
         out["kernel"] = jnp.asarray(w.as_numpy().T, dtype=dtype)
     if b is not None:
