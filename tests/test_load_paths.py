@@ -27,16 +27,22 @@ def test_upload_f16_f32_target_uses_host_path(rng):
 
 
 def test_compilation_cache_util(monkeypatch, tmp_path):
+    import jax
+
     import dinov2_tpu.utils.cache as cache
 
     monkeypatch.setattr(cache, "_enabled", False)
     monkeypatch.setenv("DINOV2_TPU_CACHE_DIR", str(tmp_path / "jc"))
-    cache.enable_compilation_cache()
-    assert cache._enabled
-    assert (tmp_path / "jc").exists()
-    cache.enable_compilation_cache()  # idempotent
+    try:
+        cache.enable_compilation_cache()
+        assert cache._enabled
+        assert (tmp_path / "jc").exists()
+        cache.enable_compilation_cache()  # idempotent
 
-    monkeypatch.setattr(cache, "_enabled", False)
-    monkeypatch.setenv("DINOV2_TPU_NO_CACHE", "1")
-    cache.enable_compilation_cache()
-    assert not cache._enabled
+        monkeypatch.setattr(cache, "_enabled", False)
+        monkeypatch.setenv("DINOV2_TPU_NO_CACHE", "1")
+        cache.enable_compilation_cache()
+        assert not cache._enabled
+    finally:
+        # don't leave jax pointing at the soon-deleted tmp dir
+        jax.config.update("jax_compilation_cache_dir", None)
