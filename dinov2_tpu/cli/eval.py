@@ -44,8 +44,15 @@ def main(argv=None) -> int:
     if not paths:
         print(f"no images under {args.dir}", file=sys.stderr)
         return 1
+    # cubic-float host resize = the reference's float/255 -> INTER_CUBIC order
+    # (dinov2.cpp:106-121); the on-device 256->256 bicubic is then the identity,
+    # so batched eval classifies the exact same pixels as single-image classify.
     loader = BatchLoader(
-        paths, batch_size=args.batch, size=(256, 256), num_threads=args.decode_threads
+        paths,
+        batch_size=args.batch,
+        size=(256, 256),
+        num_threads=args.decode_threads,
+        interpolation="cubic-float",
     )
 
     labels = None

@@ -189,10 +189,14 @@ class _Cursor:
         if vtype == GGUFValueType.STRING:
             return self.read_string()
         if vtype == GGUFValueType.ARRAY:
-            elem_type = GGUFValueType(self.unpack("<I"))
-            n = self.unpack("<Q")
-            return [self.read_value(elem_type) for _ in range(n)]
+            return self.read_array()[1]
         return self.unpack(_SCALAR_FMT[vtype])
+
+    def read_array(self) -> tuple["GGUFValueType", list]:
+        """Read an ARRAY payload, returning (element_type, values)."""
+        elem_type = GGUFValueType(self.unpack("<I"))
+        n = self.unpack("<Q")
+        return elem_type, [self.read_value(elem_type) for _ in range(n)]
 
 
 class GGUFReader:
@@ -214,10 +218,19 @@ class GGUFReader:
 
         self.kv: dict[str, Any] = {}
         self.kv_types: dict[str, GGUFValueType] = {}
+        # ARRAY KVs also record their on-disk element type so rewrites
+        # (e.g. quantize_gguf's KV copy) round-trip byte-identically instead
+        # of re-inferring INT32 arrays as UINT32 from the first element.
+        self.kv_array_types: dict[str, GGUFValueType] = {}
         for _ in range(n_kv):
             key = cur.read_string()
             vtype = GGUFValueType(cur.unpack("<I"))
-            self.kv[key] = cur.read_value(vtype)
+            if vtype == GGUFValueType.ARRAY:
+                elem_type, values = cur.read_array()
+                self.kv[key] = values
+                self.kv_array_types[key] = elem_type
+            else:
+                self.kv[key] = cur.read_value(vtype)
             self.kv_types[key] = vtype
 
         self.alignment = int(self.kv.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
@@ -280,6 +293,7 @@ class _KV:
     key: str
     vtype: GGUFValueType
     value: Any
+    elem_type: GGUFValueType | None = None  # ARRAY element type (None = infer)
 
 
 class GGUFWriter:
@@ -294,8 +308,20 @@ class GGUFWriter:
             self.add_kv("general.architecture", arch)
 
     # -- KVs --------------------------------------------------------------
-    def add_kv(self, key: str, value: Any, vtype: GGUFValueType | None = None) -> None:
-        self._kvs.append(_KV(key, vtype or _value_type_for(value), value))
+    def add_kv(
+        self,
+        key: str,
+        value: Any,
+        vtype: GGUFValueType | None = None,
+        elem_type: GGUFValueType | None = None,
+    ) -> None:
+        if vtype is None:
+            vtype = (
+                GGUFValueType.ARRAY
+                if isinstance(value, (list, tuple))
+                else _value_type_for(value)
+            )
+        self._kvs.append(_KV(key, vtype, value, elem_type))
 
     def add_uint32(self, key: str, value: int) -> None:
         self.add_kv(key, int(value), GGUFValueType.UINT32)
@@ -346,13 +372,16 @@ class GGUFWriter:
         b = s.encode("utf-8")
         return struct.pack("<Q", len(b)) + b
 
-    def _pack_value(self, vtype: GGUFValueType, value: Any) -> bytes:
+    def _pack_value(
+        self, vtype: GGUFValueType, value: Any, elem_type: GGUFValueType | None = None
+    ) -> bytes:
         if vtype == GGUFValueType.STRING:
             return self._pack_string(value)
         if vtype == GGUFValueType.ARRAY:
-            if not value:
-                raise ValueError("cannot write empty untyped array")
-            elem_type = _value_type_for(value[0])
+            if elem_type is None:
+                if not value:
+                    raise ValueError("cannot write empty untyped array")
+                elem_type = _value_type_for(value[0])
             out = struct.pack("<I", elem_type) + struct.pack("<Q", len(value))
             return out + b"".join(self._pack_value(elem_type, v) for v in value)
         return struct.pack(_SCALAR_FMT[vtype], value)
@@ -364,7 +393,7 @@ class GGUFWriter:
         kv_blob = b"".join(
             self._pack_string(kv.key)
             + struct.pack("<I", kv.vtype)
-            + self._pack_value(kv.vtype, kv.value)
+            + self._pack_value(kv.vtype, kv.value, kv.elem_type)
             for kv in self._kvs
         )
         info_blob = b""

@@ -48,7 +48,12 @@ def quantize_gguf(
         if key == "ftype":
             writer.add_uint32("ftype", int(quant_type))
         else:
-            writer.add_kv(key, value, reader.kv_types[key])
+            writer.add_kv(
+                key,
+                value,
+                reader.kv_types[key],
+                elem_type=reader.kv_array_types.get(key),
+            )
     if "ftype" not in reader.kv:
         writer.add_uint32("ftype", int(quant_type))
 

@@ -38,12 +38,27 @@ def decode_rgb(path: str | Path) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+class _ProducerError:
+    """Marker carrying a producer-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class BatchLoader:
     """Iterates (paths, images) batches with threaded decode and prefetch.
 
-    Images are resized on the host to a common (h, w) (nearest, like the
-    reference's realtime path) so batches are rectangular; the engine's
-    on-device preprocessing does the model-accurate bicubic work.
+    Images are resized on the host to a common (h, w) so batches are
+    rectangular. Two host-resize modes:
+
+      - interpolation="cubic-float" (classification-accurate): float32/255
+        first, then cv2.INTER_CUBIC — byte-matching the reference preprocessing
+        order (/root/reference/dinov2.cpp:106-121: convertTo(CV_32FC3, 1/255)
+        before resize). The engine's on-device bicubic resize to the same size
+        is then the identity, so the effective pipeline equals the reference's.
+      - interpolation="nearest" (uint8, like the reference's realtime frame
+        resize, realtime.cpp:62): cheap; the engine's on-device bicubic does the
+        model-accurate resize from this common size.
     """
 
     def __init__(
@@ -53,22 +68,31 @@ class BatchLoader:
         size: tuple[int, int] | None = (518, 518),
         num_threads: int = 8,
         prefetch: int = 2,
+        interpolation: str = "nearest",
     ):
         self.paths = [Path(p) for p in paths]
         self.batch_size = batch_size
         self.size = size
         self.num_threads = num_threads
         self.prefetch = prefetch
+        if interpolation not in ("nearest", "cubic-float"):
+            raise ValueError(f"unknown interpolation {interpolation!r}")
+        self.interpolation = interpolation
 
     def _decode(self, path: Path) -> np.ndarray:
         import cv2
 
         img = decode_rgb(path)
-        if self.size is not None:
-            img = cv2.resize(
-                img, (self.size[1], self.size[0]), interpolation=cv2.INTER_NEAREST
+        if self.size is None:
+            return img
+        if self.interpolation == "cubic-float":
+            img = img.astype(np.float32) / 255.0
+            return cv2.resize(
+                img, (self.size[1], self.size[0]), interpolation=cv2.INTER_CUBIC
             )
-        return img
+        return cv2.resize(
+            img, (self.size[1], self.size[0]), interpolation=cv2.INTER_NEAREST
+        )
 
     def __len__(self) -> int:
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
@@ -82,13 +106,20 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
-            with concurrent.futures.ThreadPoolExecutor(self.num_threads) as pool:
-                for chunk in batches:
-                    if stop.is_set():
-                        break
-                    imgs = list(pool.map(self._decode, chunk))
-                    out.put((chunk, np.stack(imgs, axis=0)))
-            out.put(None)
+            # The sentinel/error marker MUST reach the consumer even if a
+            # decode raises (corrupt file), else the consumer blocks forever
+            # on out.get().
+            try:
+                with concurrent.futures.ThreadPoolExecutor(self.num_threads) as pool:
+                    for chunk in batches:
+                        if stop.is_set():
+                            return
+                        imgs = list(pool.map(self._decode, chunk))
+                        out.put((chunk, np.stack(imgs, axis=0)))
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                out.put(_ProducerError(e))
+            else:
+                out.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -97,6 +128,14 @@ class BatchLoader:
                 item = out.get()
                 if item is None:
                     return
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 yield item
         finally:
             stop.set()
+            # Unblock a producer stuck on a full queue so its pool can exit.
+            try:
+                while True:
+                    out.get_nowait()
+            except queue.Empty:
+                pass

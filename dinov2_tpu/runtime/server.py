@@ -46,11 +46,13 @@ class BatchingServer:
         max_batch: int = 32,
         max_wait_ms: float = 5.0,
         topk: int = 5,
+        request_timeout_s: float = 600.0,
     ):
         self.engine = engine
         self.topk = topk
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
+        self.request_timeout_s = request_timeout_s
         self._queue: queue.Queue[_Pending] = queue.Queue()
         self._stop = threading.Event()
         self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
@@ -108,8 +110,10 @@ class BatchingServer:
                     return
                 pending = _Pending(image=img, mode=mode)
                 server._queue.put(pending)
-                pending.event.wait(timeout=600)
-                if pending.error:
+                if not pending.event.wait(timeout=server.request_timeout_s):
+                    # Batcher thread dead/wedged — never reply 200 with null.
+                    self._reply(504, {"error": "inference timed out"})
+                elif pending.error:
                     self._reply(500, {"error": pending.error})
                 else:
                     self._reply(200, pending.result)

@@ -1,9 +1,12 @@
 """GGUF reader/writer roundtrip tests (format parity with the reference schema)."""
 
+import struct
+
 import numpy as np
 import pytest
 
 from dinov2_tpu.io.gguf import (
+    GGUFValueType,
     GGMLType,
     GGUFReader,
     GGUFWriter,
@@ -108,4 +111,67 @@ def test_upstream_gguf_package_interop(tmp_path):
     r = GGUFReader(path)
     assert r.kv["hidden_size"] == 384
     np.testing.assert_array_equal(r.tensors["t"].as_numpy(), data)
+    r.close()
+
+
+def _pack_str(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack("<Q", len(b)) + b
+
+
+def test_reader_on_foreign_bytes(tmp_path):
+    """Parse a GGUF v3 byte stream hand-built with struct (independent of
+    GGUFWriter), following the exact layout the upstream `gguf` package and
+    ggml's gguf_init_from_file agree on (/root/reference/dinov2.cpp:263-272).
+    Proves the reader against foreign bytes without the pip package."""
+    kv = b""
+    # u32 scalar
+    kv += _pack_str("hidden_size") + struct.pack("<II", 4, 384)
+    # STRING
+    kv += _pack_str("general.architecture") + struct.pack("<I", 8) + _pack_str("dinov2")
+    # INT32 ARRAY (type 9, elem 5)
+    kv += _pack_str("ids") + struct.pack("<IIQ", 9, 5, 3) + struct.pack("<3i", -1, 0, 7)
+    # FLOAT32 scalar
+    kv += _pack_str("eps") + struct.pack("<If", 6, 1e-6)
+
+    t = np.arange(64, dtype=np.float16).reshape(8, 8)
+    # tensor info: name, n_dims, ne[] (fastest-moving first), type (F16=1), offset
+    info = _pack_str("w") + struct.pack("<I", 2) + struct.pack("<2Q", 8, 8)
+    info += struct.pack("<IQ", 1, 0)
+
+    header = struct.pack("<4sIQQ", b"GGUF", 3, 1, 4)
+    head = header + kv + info
+    pad = (-len(head)) % 32
+    blob = head + b"\x00" * pad + t.tobytes()
+    path = tmp_path / "foreign.gguf"
+    path.write_bytes(blob)
+
+    r = GGUFReader(path)
+    assert r.kv["hidden_size"] == 384
+    assert r.kv["general.architecture"] == "dinov2"
+    assert r.kv["ids"] == [-1, 0, 7]
+    assert r.kv_array_types["ids"] == GGUFValueType.INT32
+    assert r.kv["eps"] == pytest.approx(1e-6)
+    np.testing.assert_array_equal(r.tensors["w"].as_numpy(), t.astype(np.float32))
+    r.close()
+
+
+def test_array_elem_type_preserved_by_quantize(tmp_path, rng):
+    """quantize_gguf's KV copy must round-trip an INT32 array as INT32 (not
+    re-infer UINT32 from the first element)."""
+    from dinov2_tpu.quant.quantize import quantize_gguf
+
+    src = tmp_path / "src.gguf"
+    w = GGUFWriter(src)
+    w.add_uint32("ftype", int(GGMLType.F16))
+    w.add_kv("ids", [1, 2, 3], GGUFValueType.ARRAY, elem_type=GGUFValueType.INT32)
+    w.add_tensor("a.weight", rng.standard_normal((8, 64)).astype(np.float16))
+    w.write()
+
+    dst = tmp_path / "dst.gguf"
+    quantize_gguf(src, dst, GGMLType.Q8_0)
+    r = GGUFReader(dst)
+    assert r.kv["ids"] == [1, 2, 3]
+    assert r.kv_array_types["ids"] == GGUFValueType.INT32
+    assert r.tensors["a.weight"].ggml_type == GGMLType.Q8_0
     r.close()

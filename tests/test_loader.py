@@ -2,6 +2,7 @@
 
 import json
 import subprocess
+import threading
 import sys
 from pathlib import Path
 
@@ -73,3 +74,44 @@ def test_eval_cli(image_dir, tmp_path):
     lines = [json.loads(line) for line in out_path.read_text().splitlines()]
     assert len(lines) == 7
     assert all(len(rec["topk"]) == 4 for rec in lines)  # topk capped by classes
+
+
+def test_batch_loader_decode_error_raises_not_hangs(image_dir, tmp_path):
+    """A corrupt file must surface as an exception in the consumer, not a hang
+    (the producer thread always enqueues its sentinel/error marker)."""
+    bad = image_dir / "img_zz_bad.jpg"
+    bad.write_bytes(b"definitely not a jpeg")
+    loader = BatchLoader(list_images(image_dir), batch_size=4, size=(64, 64))
+
+    result = {}
+
+    def consume():
+        try:
+            list(loader)
+            result["outcome"] = "no-error"
+        except ValueError as e:
+            result["outcome"] = "raised"
+            result["msg"] = str(e)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), "consumer hung on a corrupt image"
+    assert result["outcome"] == "raised" and "img_zz_bad" in result["msg"]
+
+
+def test_batch_loader_cubic_float_matches_reference_order(image_dir):
+    """interpolation='cubic-float' must equal the reference preprocessing order:
+    float32/255 FIRST, then cv2.INTER_CUBIC (dinov2.cpp:106-121) — not a uint8
+    resize."""
+    paths = list_images(image_dir)[:2]
+    loader = BatchLoader(paths, batch_size=2, size=(256, 256),
+                         interpolation="cubic-float")
+    (batch_paths, images), = list(loader)
+    assert images.dtype == np.float32 and images.shape == (2, 256, 256, 3)
+
+    from dinov2_tpu.runtime.loader import decode_rgb
+    for i, p in enumerate(batch_paths):
+        ref = decode_rgb(p).astype(np.float32) / 255.0
+        ref = cv2.resize(ref, (256, 256), interpolation=cv2.INTER_CUBIC)
+        np.testing.assert_array_equal(images[i], ref)

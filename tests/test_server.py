@@ -101,3 +101,23 @@ def test_bad_image_400(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req, timeout=60)
     assert exc.value.code == 400
+
+
+def test_wedged_batcher_returns_504(tmp_path, rng):
+    """If the batcher never services a request, the handler must reply 504,
+    never HTTP 200 with a null body."""
+    path = tmp_path / "m504.gguf"
+    write_synthetic_gguf(path, TINY, seed=3)
+    engine = DinoEngine(path, dtype=jnp.float32)
+    srv = BatchingServer(engine, port=0, request_timeout_s=0.3)
+    # Start ONLY the HTTP thread — the batcher thread never runs.
+    threading.Thread(target=srv._http.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/classify", data=_jpg(rng), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 504
+    finally:
+        srv._http.shutdown()
