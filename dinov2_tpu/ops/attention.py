@@ -46,18 +46,37 @@ def vanilla_attention(
     return out.astype(v.dtype)
 
 
-def use_flash(flash, t: int, d: int) -> bool:
-    """Resolve the attention-path choice. "auto" picks per shape from v5e
-    measurements (docs/TPU_NOTES.md): the Pallas kernel wins at long sequences
-    (518px feature mode and beyond, where the (T, T) softmax gets expensive or
-    impossible); XLA's fused vanilla path wins at classify-length sequences for
-    every model width. Non-TPU backends always take the vanilla path (Pallas
-    would run interpreted)."""
-    if isinstance(flash, bool):
+def resolve_attention_path(flash, t: int, d: int) -> str:
+    """Resolve the attention-path choice to "slab" | "flash" | "vanilla".
+
+    "auto" picks per shape from v5e measurements (docs/TPU_NOTES.md):
+      - the fused slab kernel (ops/fused_attention.py) wins whenever the whole
+        per-image sequence fits VMEM (all classify shapes and 518px feature
+        mode on S/B) — it skips the HBM scores round-trip AND the head
+        split/merge transposes;
+      - the online-softmax flash kernel handles long sequences beyond the slab
+        budget (native-resolution feature inputs, 10k+ tokens);
+      - non-TPU backends take the vanilla einsum path (Pallas would interpret).
+    Explicit True keeps the reference's `-fa` meaning (flash kernel); False
+    forces vanilla."""
+    if flash is True:
+        return "flash"
+    if flash is False:
+        return "vanilla"
+    if flash in ("slab", "vanilla", "flash"):
         return flash
     if jax.default_backend() != "tpu":
-        return False
-    return t >= 1024
+        return "vanilla"
+    from dinov2_tpu.ops.fused_attention import fits_slab
+
+    if fits_slab(t, d):
+        return "slab"
+    return "flash" if t >= 1024 else "vanilla"
+
+
+def use_flash(flash, t: int, d: int) -> bool:
+    """Back-compat shim: whether the resolved path is a Pallas kernel."""
+    return resolve_attention_path(flash, t, d) != "vanilla"
 
 
 def self_attention(
@@ -74,14 +93,19 @@ def self_attention(
     scale = 1.0 / (hd**0.5)
 
     qkv = apply_linear(x, qkv_params)
-    q, k, v = split_heads(qkv, num_heads)
+    path = resolve_attention_path(flash, t, d)
 
-    if use_flash(flash, t, d):
-        from dinov2_tpu.ops.flash_attention import flash_attention
+    if path == "slab":
+        from dinov2_tpu.ops.fused_attention import slab_attention
 
-        out = flash_attention(q, k, v, scale)
+        out = slab_attention(qkv, num_heads, scale)
     else:
-        out = vanilla_attention(q, k, v, scale)
+        q, k, v = split_heads(qkv, num_heads)
+        if path == "flash":
+            from dinov2_tpu.ops.flash_attention import flash_attention
 
-    out = out.reshape(b, t, d)
+            out = flash_attention(q, k, v, scale)
+        else:
+            out = vanilla_attention(q, k, v, scale)
+        out = out.reshape(b, t, d)
     return apply_linear(out, proj_params)

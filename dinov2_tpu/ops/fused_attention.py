@@ -1,0 +1,171 @@
+"""Fused short-sequence attention on the qkv slab (Pallas, TPU).
+
+Motivation (profiled on v5e, scripts/profile_mfu.py): at the flagship bench
+shape (ViT-B/14, batch 64, T=257) the XLA vanilla attention core costs ~14 ms of
+a ~32 ms forward — it materializes the (B, H, T, T) scores round-trip in HBM,
+with the T=257 lane dim padded to 384 (50% wasted bandwidth). The existing
+flash kernel (ops/flash_attention.py) is built for LONG sequences: it needs
+(B, H, T, hd)-major inputs, costing four HBM transposes per call, and its
+(b*h, q_blocks) grid leaves tiny per-cell work at T=257.
+
+This kernel instead consumes the fused-QKV projection output directly — the
+(B, T, 3D) "slab", exactly as the qkv matmul writes it (reference layout:
+[q; k; v] along features, /root/reference/dinov2.cpp:469-497) — and keeps the
+whole per-image sequence in VMEM:
+
+  grid = (B,); block = the full (T, 3D) slab of one image.
+  For each head (static Python loop): slice q/k/v from the slab at 64-lane
+  offsets, scores = q @ k^T (f32), full-row softmax (no online rescaling — the
+  row is entirely resident), out = p @ v, write to the (T, D) output slab.
+
+No transposes, no HBM scores, no masking (blocks cover the arrays exactly, so
+all shapes are logical). Numerics match vanilla_attention: f32 scores, the
+same scale-after-matmul order, f32 softmax, bf16 PV matmul with f32 accumulate.
+
+Scope: T * 3D * 2B (the double-buffered slab) must fit VMEM — e.g. ViT-g
+(D=1536, T=257) is ~2.4 MB/buffer, fine; 518px feature mode (T=1370, ViT-L
+D=1024) is ~8.4 MB/buffer, still OK; native-res 12k-token inputs belong to the
+flash kernel. use_fused_slab() picks per shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# above this, the full (T, T) f32 scores tile stresses VMEM; use the flash path
+MAX_SLAB_TOKENS = 2048
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _is_pow2(x: float) -> bool:
+    from math import frexp
+
+    m, _ = frexp(x)
+    return x > 0 and m == 0.5
+
+
+def _slab_kernel(qkv_ref, o_ref, *, num_heads, scale, d, nb):
+    hd = d // num_heads
+    # head_dim is 64 for every DINOv2 size, so scale = 1/8 is a power of two:
+    # folding it into bf16 q is EXACT (pure exponent shift) and keeps the wide
+    # (T, T) f32 tile out of one elementwise pass.
+    fold_scale = _is_pow2(scale)
+    for b in range(nb):
+        for h in range(num_heads):
+            q = qkv_ref[b, :, h * hd : (h + 1) * hd]
+            k = qkv_ref[b, :, d + h * hd : d + (h + 1) * hd]
+            v = qkv_ref[b, :, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+            if fold_scale:
+                q = q * jnp.asarray(scale, q.dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if not fold_scale:
+                s = s * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            # exp2 is the TPU-native transcendental (exp(x) = exp2(x·log2e))
+            p = jnp.exp2((s - m) * _LOG2E)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # normalize on the narrow (T, hd) tile, not the (T, T) one
+            o_ref[b, :, h * hd : (h + 1) * hd] = (pv / l).astype(o_ref.dtype)
+
+
+def _block_cost(nb: int, t: int, d: int, itemsize: int = 2) -> int:
+    slab = nb * t * 3 * d * itemsize
+    out = nb * t * d * itemsize
+    scores = -(-t // 8) * 8 * -(-t // 128) * 128 * 4  # physical f32 tile
+    return 2 * (slab + out) + 2 * scores
+
+
+def fits_slab(t: int, d: int, itemsize: int = 2) -> bool:
+    """Whether the per-image slab (double-buffered in+out) + one f32 scores tile
+    fits the VMEM budget."""
+    return t <= MAX_SLAB_TOKENS and _block_cost(1, t, d, itemsize) < _VMEM_BUDGET
+
+
+def _pick_nb(b: int, t: int, d: int, itemsize: int = 2) -> int:
+    """Images per grid cell: bigger blocks amortize per-cell DMA setup (measured
+    on v5e: nb=4 beats nb=1 by ~8% at the ViT-B bench shape) subject to VMEM."""
+    nb = 1
+    for cand in (2, 4):
+        if b % cand == 0 and _block_cost(cand, t, d, itemsize) < _VMEM_BUDGET:
+            nb = cand
+    return nb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def slab_attention(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """(B, T, 3D) fused-qkv slab -> (B, T, D) attention output slab.
+
+    Differentiable via recompute (same policy as flash_attention: the backward
+    re-runs the reference math under jax.vjp; at slab-sized T the (T, T)
+    backward intermediates are cheap)."""
+    return _slab_forward(qkv, num_heads, scale, interpret)
+
+
+def _slab_forward(qkv, num_heads, scale, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, three_d = qkv.shape
+    d = three_d // 3
+    nb = _pick_nb(b, t, d, qkv.dtype.itemsize)
+
+    return pl.pallas_call(
+        functools.partial(_slab_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb),
+        grid=(b // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, t, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), qkv.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * t * t * d,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=b * num_heads * t * t,
+        ),
+    )(qkv)
+
+
+def _slab_reference(qkv, num_heads, scale):
+    """Unfused reference math (for the VJP recompute and interpret checks)."""
+    from dinov2_tpu.ops.attention import split_heads, vanilla_attention
+
+    b, t, three_d = qkv.shape
+    q, k, v = split_heads(qkv, num_heads)
+    return vanilla_attention(q, k, v, scale).reshape(b, t, three_d // 3)
+
+
+def _slab_fwd(qkv, num_heads, scale, interpret):
+    return _slab_forward(qkv, num_heads, scale, interpret), (qkv,)
+
+
+def _slab_bwd(num_heads, scale, interpret, residuals, g):
+    (qkv,) = residuals
+    _, vjp = jax.vjp(lambda s: _slab_reference(s, num_heads, scale), qkv)
+    return vjp(g)
+
+
+slab_attention.defvjp(_slab_fwd, _slab_bwd)

@@ -144,3 +144,78 @@ def test_pallas_qmatmul_batched_shape(rng):
     assert got.shape == (2, 5, 128)
     want = np.asarray(x @ dequant_weight(ql, jnp.float32).T)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# fused slab attention (ops/fused_attention.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("b,t,heads,d", [(2, 257, 12, 768), (4, 37, 4, 256), (1, 130, 6, 384)])
+def test_slab_matches_vanilla_f32(b, t, heads, d, rng):
+    from dinov2_tpu.ops.fused_attention import _slab_reference, slab_attention
+
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * d)), jnp.float32)
+    scale = 1.0 / (d // heads) ** 0.5
+    want = np.asarray(_slab_reference(qkv, heads, scale))
+    got = np.asarray(slab_attention(qkv, heads, scale, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_slab_multi_image_blocks(rng):
+    """b=4 exercises the nb>1 grid (images-per-cell DMA amortization)."""
+    from dinov2_tpu.ops.fused_attention import _pick_nb, _slab_reference, slab_attention
+
+    b, t, heads, d = 4, 64, 4, 128
+    assert _pick_nb(b, t, d, 4) > 1
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * d)), jnp.float32)
+    got = np.asarray(slab_attention(qkv, heads, 0.125, interpret=True))
+    want = np.asarray(_slab_reference(qkv, heads, 0.125))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_slab_grad_matches_reference(rng):
+    from dinov2_tpu.ops.fused_attention import _slab_reference, slab_attention
+
+    import jax
+
+    qkv = jnp.asarray(rng.standard_normal((1, 37, 3 * 64)), jnp.float32)
+    g1 = jax.grad(lambda s: jnp.sum(slab_attention(s, 4, 0.25, True) ** 2))(qkv)
+    g2 = jax.grad(lambda s: jnp.sum(_slab_reference(s, 4, 0.25) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_slab_full_model_matches_vanilla(rng):
+    """Whole tiny ViT forward with flash_attention='slab' (interpreted kernel)
+    equals the vanilla path."""
+    import jax
+
+    from dinov2_tpu.models.config import DinoConfig
+    from dinov2_tpu.models.params import init_params
+    from dinov2_tpu.models.vit import ModelOptions, forward
+
+    config = DinoConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+                        num_classes=4, patch_size=14, img_size=70)
+    params = init_params(config, seed=0, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 70, 70, 3)), jnp.float32)
+    o_van = forward(params, x, config,
+                    ModelOptions(compute_dtype=jnp.float32, flash_attention=False),
+                    classify=True)
+    o_slab = forward(params, x, config,
+                     ModelOptions(compute_dtype=jnp.float32, flash_attention="slab"),
+                     classify=True)
+    for k in ("cls_token", "probs"):
+        np.testing.assert_allclose(
+            np.asarray(o_slab[k]), np.asarray(o_van[k]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fits_slab_budget():
+    from dinov2_tpu.ops.fused_attention import fits_slab
+
+    assert fits_slab(257, 768)        # ViT-B classify
+    assert fits_slab(257, 1536)       # ViT-g classify
+    # 518px feature mode (T=1370): the (T, T) f32 scores tile alone is ~7.8 MB,
+    # over the VMEM budget -> the online-softmax flash kernel takes over
+    assert not fits_slab(1370, 384)
+    assert not fits_slab(12000, 1024)  # native-res features -> flash kernel

@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from dinov2_tpu.ops.attention import use_flash
+from dinov2_tpu.ops.attention import resolve_attention_path, use_flash
 from dinov2_tpu.utils.debug import check_finite, print_tensor
 from dinov2_tpu.utils.timing import Timer, time_blocked
 
@@ -16,6 +16,15 @@ def test_use_flash_policy():
     assert use_flash(False, 100000, 1) is False
     # tests run on CPU: auto never picks the (interpreted) Pallas path
     assert use_flash("auto", 2048, 384) is False
+
+
+def test_resolve_attention_path():
+    assert resolve_attention_path(True, 257, 768) == "flash"
+    assert resolve_attention_path(False, 257, 768) == "vanilla"
+    assert resolve_attention_path("slab", 257, 768) == "slab"
+    # CPU backend: auto always resolves to vanilla
+    assert resolve_attention_path("auto", 257, 768) == "vanilla"
+    assert resolve_attention_path("auto", 20000, 768) == "vanilla"
 
 
 def test_check_finite_flag(monkeypatch):
