@@ -44,15 +44,18 @@ class QuantLinear:
       codes: (out, in) int8, zero-point pre-subtracted for the symmetric
              formats, so dequant is `codes*d` (+ `m` for q4_1/q5_1)
 
-    packed=True ("true 4/5-bit", q4_0/q4_1/q5_0/q5_1): codes keeps the ORIGINAL
-      ggml nibble packing, (out, in//2) uint8 — byte j of block b holds elements
-      32b+j (lo nibble) and 32b+16+j (hi). The kernel never reassembles element
-      order: the activation's K axis is permuted once outside the kernel
-      (nibble_permutation) and the matmul runs as two half-K GEMMs over the
-      lo/hi nibble planes. For the q5 formats the per-element 5th bits travel as
-      two uint16 planes qh_lo/qh_hi (out, in//32) — values ≤ 65535 broadcast
-      EXACTLY through an f32 indicator matmul in-kernel, then a variable vector
-      shift extracts each lane's bit. HBM cost: 0.56-0.69 B/weight.
+    packed=True ("true 4/5-bit", q4_0/q4_1/q5_0): codes are nibble-packed
+      (out, in//2) uint8 in NATURAL-ORDER planes — byte j holds weight element
+      j (lo nibble) and element j+in/2 (hi nibble). ggml's block-local packing
+      (elements 32b+j / 32b+16+j per byte) is repacked to this layout once at
+      load; the kernel then runs two half-K GEMMs over the planes with the
+      activation's K axis UNTOUCHED (round 1 permuted the activation with a
+      jnp.take per matmul — an HBM gather that cost ~1.3 ms/layer at the ViT-B
+      b64 shape). For the q5 formats the per-element 5th bits travel as two
+      uint16 planes qh_lo/qh_hi (out, in//32), one word per 16 consecutive
+      lanes of each plane — values ≤ 65535 broadcast EXACTLY through an f32
+      indicator matmul in-kernel, then a variable vector shift extracts each
+      lane's bit. HBM cost: 0.56-0.69 B/weight, same as the ggml blocks.
 
     d: (out, in//32) float32 per-block scales
     m: (out, in//32) float32 per-block mins or None
@@ -81,10 +84,20 @@ class QuantLinear:
         )
 
 
-# q5_1 stays on the int8-codes layout: its packed kernel (5th-bit planes + the
-# affine blocksum correction combined) crashes the v5e Mosaic compiler; the
-# other four formats run fully packed (see ops/pallas_qmatmul.py).
-_PACKED_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0)
+# All four sub-8-bit formats run fully packed (see ops/pallas_qmatmul.py).
+# Round 1's q5_1 Mosaic crash (5th-bit planes + affine blocksums at k2 >= 1536
+# with bn > 128) no longer reproduces with the round-2 kernel (natural-order
+# planes, no activation permutation, fused epilogue) — verified compile + run
+# at the exact previously-crashing shape (m=16448, n=768, k=3072) on v5e.
+_PACKED_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1)
+
+
+def _natural_plane_words(bits: np.ndarray) -> np.ndarray:
+    """(out, half_k) 0/1 bits -> (out, half_k//16) uint16, one word per 16
+    consecutive lanes, bit i of word g = bits[:, 16g+i]."""
+    o, hk = bits.shape
+    w = bits.astype(np.uint32).reshape(o, hk // 16, 16)
+    return (w << np.arange(16, dtype=np.uint32)).sum(axis=2).astype(np.uint16)
 
 
 def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
@@ -93,7 +106,11 @@ def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
     out_dim, in_dim = t.shape
     gt = GGMLType(t.ggml_type)
     if gt in _PACKED_TYPES:
-        # keep the raw nibble planes; only lift out scales/mins (+5th bits)
+        # repack ggml's block-local nibbles (byte j of block b = elements
+        # 32b+j lo / 32b+16+j hi) into natural-order planes (byte j = elements
+        # j lo / j+in/2 hi): the matmul kernel then needs NO activation
+        # permutation. Scales/mins lift out as f32; q5 5th bits become
+        # per-plane u16 words. One-time host work at load.
         nb = in_dim // 32
         blocks = t.data.view(np.uint8).view(block_dtype(gt)).reshape(out_dim, nb)
         d = jnp.asarray(blocks["d"].astype(np.float32))
@@ -102,14 +119,23 @@ def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
             if "m" in blocks.dtype.names
             else None
         )
+        qs = blocks["qs"]  # (out, nb, 16)
+        elems = np.empty((out_dim, nb, 32), dtype=np.uint8)
+        elems[..., :16] = qs & 0xF
+        elems[..., 16:] = qs >> 4
+        elems = elems.reshape(out_dim, in_dim)
+        half = in_dim // 2
+        codes = jnp.asarray(elems[:, :half] | (elems[:, half:] << 4))
         qh_lo = qh_hi = None
         if "qh" in blocks.dtype.names:
-            qh = blocks["qh"]
-            qh_lo = jnp.asarray((qh & 0xFFFF).astype(np.uint16))
-            qh_hi = jnp.asarray((qh >> 16).astype(np.uint16))
-        qs = jnp.asarray(blocks["qs"].reshape(out_dim, in_dim // 2))
+            qh = blocks["qh"].astype(np.uint32)  # bit r = 5th bit of element 32b+r
+            bits = (
+                (qh[..., None] >> np.arange(32, dtype=np.uint32)) & 1
+            ).reshape(out_dim, in_dim).astype(np.uint8)
+            qh_lo = jnp.asarray(_natural_plane_words(bits[:, :half]))
+            qh_hi = jnp.asarray(_natural_plane_words(bits[:, half:]))
         return QuantLinear(
-            codes=qs, d=d, m=m, ggml_type=int(gt), shape=(out_dim, in_dim),
+            codes=codes, d=d, m=m, ggml_type=int(gt), shape=(out_dim, in_dim),
             packed=True, qh_lo=qh_lo, qh_hi=qh_hi,
         )
     codes, d, m = unpack_codes(t.data, gt, t.shape)

@@ -61,9 +61,11 @@ def layer_norm(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
 
 
 def mlp_block(x: jnp.ndarray, p: dict, approximate_gelu: bool) -> jnp.ndarray:
-    """fc1 -> GELU -> fc2 (dinov2.cpp:556-575)."""
-    h = apply_linear(x, p["fc1"])
-    h = jax.nn.gelu(h, approximate=approximate_gelu)  # compute dtype; fuses
+    """fc1 -> GELU -> fc2 (dinov2.cpp:556-575). The GELU is requested through
+    apply_linear so quantized fc1 runs it in the Pallas kernel epilogue (dense
+    fc1 applies the identical jax.nn.gelu; XLA fuses it either way)."""
+    h = apply_linear(x, p["fc1"],
+                     activation="gelu_tanh" if approximate_gelu else "gelu_erf")
     return apply_linear(h, p["fc2"])
 
 

@@ -61,42 +61,76 @@ def _block_sums(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _kernel_sym(x_ref, codes_ref, d_ref, o_ref, w_scr):
-    # grid is (n_blocks, m_blocks) with m INNER: the dequantized weight tile is
-    # built once per N tile (m==0) into VMEM scratch and reused across M blocks
-    @pl.when(pl.program_id(1) == 0)
-    def _dequant():
-        w = codes_ref[:].astype(jnp.bfloat16)  # (bn, K)
-        d = d_ref[:].astype(jnp.bfloat16)  # (bn, K//32)
-        w_scr[...] = w * _expand_scales(d)
+def _epilogue(acc: jnp.ndarray, b_ref, activation: str | None, out_dtype):
+    """Matmul epilogue: cast to the output dtype, add the bias tile, apply the
+    activation — all in VMEM. Order matches the XLA path exactly (qmatmul.py::
+    apply_linear casts the f32 accumulator to the compute dtype, then adds the
+    compute-dtype bias; models/vit.py applies GELU in the compute dtype), so
+    fused-epilogue results are bit-compatible with the unfused ones."""
+    y = acc.astype(out_dtype)
+    if b_ref is not None:
+        y = y + b_ref[:].astype(out_dtype)
+    if activation == "gelu_tanh":
+        y = jax.nn.gelu(y, approximate=True)
+    elif activation == "gelu_erf":
+        y = jax.nn.gelu(y, approximate=False)
+    elif activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
+    return y
 
-    o_ref[:] = jax.lax.dot_general(
-        x_ref[:], w_scr[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+
+def _make_kernel_sym(activation, has_bias):
+    def _kernel_sym(*refs):
+        x_ref, codes_ref, d_ref = refs[0], refs[1], refs[2]
+        b_ref = refs[3] if has_bias else None
+        o_ref, w_scr = refs[3 + int(has_bias)], refs[4 + int(has_bias)]
+
+        # grid is (n_blocks, m_blocks) with m INNER: the dequantized weight tile
+        # is built once per N tile (m==0) into VMEM scratch, reused across M
+        @pl.when(pl.program_id(1) == 0)
+        def _dequant():
+            w = codes_ref[:].astype(jnp.bfloat16)  # (bn, K)
+            d = d_ref[:].astype(jnp.bfloat16)  # (bn, K//32)
+            w_scr[...] = w * _expand_scales(d)
+
+        acc = jax.lax.dot_general(
+            x_ref[:], w_scr[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = _epilogue(acc, b_ref, activation, o_ref.dtype)
+
+    return _kernel_sym
 
 
-def _kernel_affine(x_ref, codes_ref, d_ref, m_ref, o_ref, w_scr):
-    # affine formats (q4_1/q5_1): w = codes*d + m with m constant per 32-block.
-    # By linearity x @ wᵀ = x @ (codes*d)ᵀ + blocksums(x) @ mᵀ, where
-    # blocksums(x)[i, b] = Σ_{k in block b} x[i, k] — exact, no broadcast of m.
-    @pl.when(pl.program_id(1) == 0)
-    def _dequant():
-        w = codes_ref[:].astype(jnp.bfloat16)
-        d = d_ref[:].astype(jnp.bfloat16)
-        w_scr[...] = w * _expand_scales(d)
+def _make_kernel_affine(activation, has_bias):
+    def _kernel_affine(*refs):
+        # affine formats (q4_1/q5_1): w = codes*d + m with m constant per
+        # 32-block. By linearity x @ wᵀ = x @ (codes*d)ᵀ + blocksums(x) @ mᵀ,
+        # where blocksums(x)[i, b] = Σ_{k in block b} x[i, k] — exact, no
+        # broadcast of m.
+        x_ref, codes_ref, d_ref, m_ref = refs[0], refs[1], refs[2], refs[3]
+        b_ref = refs[4] if has_bias else None
+        o_ref, w_scr = refs[4 + int(has_bias)], refs[5 + int(has_bias)]
 
-    x = x_ref[:]  # (bm, K)
-    acc = jax.lax.dot_general(
-        x, w_scr[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    xs = _block_sums(x)  # (bm, K/32) f32
-    # the min-correction matmul is tiny (nb = K/32 contraction) — keep it f32 so
-    # the affine formats match the dequantized reference within bf16 noise
-    acc = acc + jax.lax.dot_general(
-        xs, m_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[:] = acc.astype(o_ref.dtype)
+        @pl.when(pl.program_id(1) == 0)
+        def _dequant():
+            w = codes_ref[:].astype(jnp.bfloat16)
+            d = d_ref[:].astype(jnp.bfloat16)
+            w_scr[...] = w * _expand_scales(d)
+
+        x = x_ref[:]  # (bm, K)
+        acc = jax.lax.dot_general(
+            x, w_scr[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        xs = _block_sums(x)  # (bm, K/32) f32
+        # the min-correction matmul is tiny (nb = K/32 contraction) — keep it
+        # f32 so affine formats match the dequantized reference within bf16 noise
+        acc = acc + jax.lax.dot_general(
+            xs, m_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[:] = _epilogue(acc, b_ref, activation, o_ref.dtype)
+
+    return _kernel_affine
 
 
 def _round_up(x: int, m: int) -> int:
@@ -104,33 +138,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# True 4-bit path (packed q4_0/q4_1 nibbles stay packed in HBM)
+# True 4-bit path (packed q4_0/q4_1/q5_0 nibbles stay packed in HBM)
 # ---------------------------------------------------------------------------
 #
-# ggml packs block elements 0..15 into the LOW nibbles of bytes 0..15 and
-# elements 16..31 into the HIGH nibbles. Reassembling that element order
-# in-kernel needs lane shuffles Mosaic dislikes; instead we PERMUTE THE
-# ACTIVATION's K axis once outside the kernel so that the lo-nibble plane and
-# hi-nibble plane are each contiguous half-K segments, and run two half-K
-# matmuls. A fixed permutation of the contraction axis applied to both operands
-# leaves the product unchanged.
+# Codes arrive in NATURAL-ORDER planes (models/params.py::_soa_from_blocks
+# repacks ggml's block-local nibbles at load): byte j holds weight element j in
+# its lo nibble and element j+K/2 in its hi nibble. The matmul runs as two
+# half-K GEMMs over the planes with the activation untouched — round 1 instead
+# permuted the activation's K axis with a jnp.take before every quantized
+# matmul, an (M, K) HBM gather that dominated the fused path's cost at batch 64
+# (docs/TPU_NOTES.md round-2 notes).
 
 
-def _nibble_permutation(k: int) -> "np.ndarray":
-    import numpy as np
-
-    j = np.arange(k // 2)
-    lo = 32 * (j // 16) + (j % 16)  # element index of lo-plane position j
-    return np.concatenate([lo, lo + 16])
-
-
-def _expand_scales_half(d: jnp.ndarray, k2: int) -> jnp.ndarray:
-    """(bn, K/32) -> (bn, K/2): within a half-K nibble plane each 32-block
-    covers 16 consecutive lanes."""
+def _expand_scales_plane(d: jnp.ndarray, k2: int, offset: int) -> jnp.ndarray:
+    """(bn, K/32) per-block scales -> (bn, K/2) plane broadcast: lane j of a
+    natural-order plane is weight element j+offset, i.e. block (j+offset)//32."""
     bn, nb = d.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 1)
-    e = (cols // (QK // 2) == rows).astype(jnp.float32)
+    e = ((cols + offset) // QK == rows).astype(jnp.float32)
     out = jax.lax.dot_general(
         d.astype(jnp.float32), e, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -141,17 +167,23 @@ def _expand_scales_half(d: jnp.ndarray, k2: int) -> jnp.ndarray:
 def _fifth_bits(qh_ref, k2: int) -> jnp.ndarray:
     """(bn, K/32) uint16 5th-bit words -> (bn, K/2) f32 0/1 bit per lane.
 
-    The u16 word broadcasts EXACTLY through an f32 indicator matmul (values
-    ≤ 65535 < 2^24); the per-lane bit is then floor(word * 2^-lane%16) mod 2 —
-    pure f32 VPU ops, no variable integer shifts for Mosaic to choke on."""
+    Words are per-plane natural order (one u16 per 16 consecutive lanes,
+    models/params.py::_natural_plane_words). The u16 word broadcasts EXACTLY
+    through an f32 indicator matmul (values ≤ 65535 < 2^24); the per-lane bit
+    is then floor(word * 2^-lane%16) mod 2 — pure f32 VPU ops, no variable
+    integer shifts for Mosaic to choke on."""
     bn, nb = qh_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 1)
     e = (cols // (QK // 2) == rows).astype(jnp.float32)
-    # Mosaic has no u16->f32 cast; hop through int32 (values <= 65535, exact)
+    # Mosaic has no u16->f32 cast; hop through int32 (values <= 65535, exact).
+    # precision=HIGHEST is REQUIRED: the v5e MXU is bf16-native and the default
+    # precision truncates f32 operands to bf16 (8 mantissa bits), silently
+    # corrupting the low bits of any word > 255 — 28% of expanded bits came out
+    # wrong on-chip while interpret mode (exact f32) passed.
     words = jax.lax.dot_general(
         qh_ref[:].astype(jnp.int32).astype(jnp.float32), e, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )  # (bn, k2)
     shift = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1) % (QK // 2)
     # exact 2^-shift via a 16-way select: jnp.exp2 on arrays lowers through
@@ -163,20 +195,25 @@ def _fifth_bits(qh_ref, k2: int) -> jnp.ndarray:
 
 
 def _dequant_packed_halves(qs_ref, d_ref, qhlo_ref, qhhi_ref, zero: int, k2: int):
-    """Shared packed dequant: returns the (bn, K/2) lo/hi bf16 weight planes."""
+    """Shared packed dequant: returns the (bn, K/2) lo/hi bf16 weight planes
+    (natural order: lo plane lane j = element j, hi plane lane j = element
+    j + K/2)."""
     qs = qs_ref[:].astype(jnp.int32)
-    ds = _expand_scales_half(d_ref[:], k2)
+    ds_lo = _expand_scales_plane(d_ref[:], k2, 0)
+    ds_hi = _expand_scales_plane(d_ref[:], k2, k2)
     lo = (qs & 0xF).astype(jnp.float32)
     hi = (qs >> 4).astype(jnp.float32)
     if qhlo_ref is not None:
         lo = lo + 16.0 * _fifth_bits(qhlo_ref, k2)
         hi = hi + 16.0 * _fifth_bits(qhhi_ref, k2)
-    wlo = (lo - zero).astype(jnp.bfloat16) * ds
-    whi = (hi - zero).astype(jnp.bfloat16) * ds
+    wlo = (lo - zero).astype(jnp.bfloat16) * ds_lo
+    whi = (hi - zero).astype(jnp.bfloat16) * ds_hi
     return wlo, whi
 
 
-def _make_packed_kernel(zero: int, k2: int, has_m: bool, has_qh: bool):
+def _make_packed_kernel(
+    zero: int, k2: int, has_m: bool, has_qh: bool, activation=None, has_bias=False
+):
     def kernel(*refs):
         x_ref, qs_ref, d_ref = refs[0], refs[1], refs[2]
         i = 3
@@ -185,6 +222,8 @@ def _make_packed_kernel(zero: int, k2: int, has_m: bool, has_qh: bool):
         qhlo_ref = refs[i] if has_qh else None
         qhhi_ref = refs[i + 1] if has_qh else None
         i += 2 * int(has_qh)
+        b_ref = refs[i] if has_bias else None
+        i += int(has_bias)
         o_ref, w_scr = refs[i], refs[i + 1]
 
         @pl.when(pl.program_id(1) == 0)
@@ -201,29 +240,16 @@ def _make_packed_kernel(zero: int, k2: int, has_m: bool, has_qh: bool):
             preferred_element_type=jnp.float32,
         )
         if has_m:
-            # per-32-block sums of the PERMUTED x: block b is lanes
-            # [16b, 16b+16) of both the lo and hi half-planes
-            xf = x.astype(jnp.float32)
-            xs = _block_sums_half(xf[:, :k2] + xf[:, k2:])
+            # x is in natural element order, so the per-32-block sums for the
+            # affine min-correction are plain consecutive-lane sums
+            xs = _block_sums(x)
             acc = acc + jax.lax.dot_general(
                 xs, m_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        o_ref[:] = acc.astype(o_ref.dtype)
+        o_ref[:] = _epilogue(acc, b_ref, activation, o_ref.dtype)
 
     return kernel
-
-
-def _block_sums_half(xh: jnp.ndarray) -> jnp.ndarray:
-    """(bm, K/2) -> (bm, K/32) sums over consecutive groups of 16 lanes."""
-    bm, k2 = xh.shape
-    nb = k2 // (QK // 2)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 1)
-    e = (cols // (QK // 2) == rows).astype(jnp.float32)
-    return jax.lax.dot_general(
-        xh, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
 
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
@@ -246,13 +272,21 @@ def quant_matmul_pallas(
     block_m: int = 1024,
     block_n: int = 768,
     interpret: bool | None = None,
+    bias: jnp.ndarray | None = None,
+    activation: str | None = None,
 ) -> jnp.ndarray:
-    """x (..., K) @ QuantLinear(out=N, in=K)ᵀ -> (..., N).
+    """x (..., K) @ QuantLinear(out=N, in=K)ᵀ (+ bias, + activation) -> (..., N).
 
     Default blocks (1024, 768) measured fastest on v5e for ViT shapes — the
     fused kernel there outruns both XLA dequant-then-matmul and the dense bf16
     matmul (packed weights read fewer HBM bytes). Blocks shrink automatically
     to stay inside the VMEM budget.
+
+    bias/activation run in the kernel epilogue (VMEM): without this, every
+    quantized matmul pays a separate XLA elementwise pass over the (M, N)
+    output — ~450 MB/layer of HBM traffic at the ViT-B b64 shape, the dominant
+    cost of round 1's fused-quant large-batch gap (docs/TPU_NOTES.md).
+    activation: None | "gelu_tanh" | "gelu_erf".
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -264,10 +298,30 @@ def quant_matmul_pallas(
         m *= s
     x2 = x.reshape(m, k)
 
-    # choose MXU-aligned blocks, then pad the operands up to block multiples
-    # (padding is sliced off at the end; never shrink blocks below 8/128)
+    # choose MXU-aligned blocks (never shrink below 8/128); operands are NOT
+    # padded — Pallas masks partial edge blocks on store, and every output
+    # element depends only on its own (row, col), so garbage in the padded
+    # region of a partial block can never leak into real outputs. Round 1
+    # jnp.pad'ed x to a block multiple, a ~25 MB copy per matmul at the ViT-B
+    # b64 shape (M=16448 % 1024 != 0).
     bm = max(8, min(block_m, _round_up(m, 8)))
     bn = max(128, min(block_n, _round_up(n, 128)))
+    # The q5 5th-bit expansion (exact-precision indicator matmuls) makes the
+    # heaviest kernel bodies, and large tiles crash the v5e Mosaic compiler
+    # (the round-1 "k2=1536" bug family). Bisected safe caps:
+    #   q5_1 (qh + affine): (1024, 768) crashes at ANY m -> cap area to 512x768;
+    #                       k >= 3072 crashes for bn > 128 -> bn = 128.
+    #   q5_0 (qh only):     k >= 3072 crashes for bn > 256 -> bn = 256.
+    if getattr(ql, "packed", False) and ql.qh_lo is not None:
+        if ql.m is not None:
+            while bm * bn > 512 * 768 and bm > 8:
+                bm //= 2
+            if k >= 3072:
+                bn = 128
+        elif k >= 3072:
+            # 256 survives in isolation but crashes inside the scanned model
+            # context; 128 is stable in both
+            bn = min(bn, 128)
     # shrink to the VMEM budget (alternate halving the larger block)
     while (
         _vmem_bytes(bm, bn, k, x2.dtype.itemsize, ql.m is not None) > _VMEM_BUDGET
@@ -279,17 +333,7 @@ def quant_matmul_pallas(
             bn = max(128, bn // 2)
     mp = _round_up(m, bm)
     np_ = _round_up(n, bn)
-
-    if getattr(ql, "packed", False):
-        x2 = jnp.take(x2, jnp.asarray(_nibble_permutation(k)), axis=1)
-    if mp != m:
-        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
     codes, d, mm = ql.codes, ql.d, ql.m
-    if np_ != n:
-        codes = jnp.pad(codes, ((0, np_ - n), (0, 0)))
-        d = jnp.pad(d, ((0, np_ - n), (0, 0)))
-        if mm is not None:
-            mm = jnp.pad(mm, ((0, np_ - n), (0, 0)))
 
     # grid: N outer, M inner — the kernel dequantizes each weight tile once
     # (at m==0) into VMEM scratch and reuses it across all M blocks
@@ -302,6 +346,16 @@ def quant_matmul_pallas(
         pl.BlockSpec((bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM),
     ]
     operands = [x2, codes, d]
+    has_bias = bias is not None
+    b2 = bias.reshape(1, n).astype(x.dtype) if has_bias else None
+
+    def _append_bias():
+        if has_bias:
+            in_specs.append(
+                pl.BlockSpec((1, bn), lambda n, m: (0, n), memory_space=pltpu.VMEM)
+            )
+            operands.append(b2)
+
     if getattr(ql, "packed", False):
         from dinov2_tpu.io.gguf import GGMLType
 
@@ -314,26 +368,27 @@ def quant_matmul_pallas(
             )
             operands.append(mm)
         if has_qh:
-            qh_lo, qh_hi = ql.qh_lo, ql.qh_hi
-            if np_ != n:
-                qh_lo = jnp.pad(qh_lo, ((0, np_ - n), (0, 0)))
-                qh_hi = jnp.pad(qh_hi, ((0, np_ - n), (0, 0)))
-            for qh in (qh_lo, qh_hi):
+            for qh in (ql.qh_lo, ql.qh_hi):
                 in_specs.append(
                     pl.BlockSpec(
                         (bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM
                     )
                 )
                 operands.append(qh)
-        kernel = _make_packed_kernel(zero, k // 2, mm is not None, has_qh)
+        _append_bias()
+        kernel = _make_packed_kernel(
+            zero, k // 2, mm is not None, has_qh, activation, has_bias
+        )
     elif mm is not None:
         in_specs.append(
             pl.BlockSpec((bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM)
         )
         operands.append(mm)
-        kernel = _kernel_affine
+        _append_bias()
+        kernel = _make_kernel_affine(activation, has_bias)
     else:
-        kernel = _kernel_sym
+        _append_bias()
+        kernel = _make_kernel_sym(activation, has_bias)
 
     out = pl.pallas_call(
         kernel,
@@ -342,7 +397,7 @@ def quant_matmul_pallas(
         out_specs=pl.BlockSpec(
             (bm, bn), lambda n, m: (m, n), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((bn, k), jnp.bfloat16)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -355,4 +410,4 @@ def quant_matmul_pallas(
         ),
     )(*operands)
 
-    return out[:m, :n].reshape(*lead, n)
+    return out.reshape(*lead, n)

@@ -27,24 +27,41 @@ def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
     out_dim, in_dim = ql.shape
     nb = in_dim // 32
     if getattr(ql, "packed", False):
-        qs = ql.codes.reshape(out_dim, nb, 16)
-        lo = (qs & 0xF).astype(jnp.int32)
-        hi = (qs >> 4).astype(jnp.int32)
-        if ql.qh_lo is not None:  # q5 formats: merge the 5th-bit planes
+        # natural-order planes (models/params.py): byte j = element j (lo
+        # nibble) and element j+in/2 (hi); q5 5th-bit words cover 16
+        # consecutive lanes of each plane
+        qs = ql.codes
+        lo = (qs & 0xF).astype(jnp.int32)  # (out, in/2) = elements [0, in/2)
+        hi = (qs >> 4).astype(jnp.int32)  # elements [in/2, in)
+        if ql.qh_lo is not None:
             shifts = jnp.arange(16, dtype=jnp.uint32)
-            bits_lo = ((ql.qh_lo.astype(jnp.uint32)[..., None] >> shifts) & 1)
-            bits_hi = ((ql.qh_hi.astype(jnp.uint32)[..., None] >> shifts) & 1)
-            lo = lo | (bits_lo << 4).astype(jnp.int32)
-            hi = hi | (bits_hi << 4).astype(jnp.int32)
+
+            def bits(words):
+                b = (words.astype(jnp.uint32)[..., None] >> shifts) & 1
+                return b.reshape(out_dim, in_dim // 2).astype(jnp.int32)
+
+            lo = lo | (bits(ql.qh_lo) << 4)
+            hi = hi | (bits(ql.qh_hi) << 4)
         q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
         if ql.m is None:  # symmetric zero points
             q = q - (16.0 if ql.qh_lo is not None else 8.0)
+        q = q.reshape(out_dim, nb, 32)
     else:
         q = ql.codes.astype(jnp.float32).reshape(out_dim, nb, 32)
     w = q * ql.d[..., None]
     if ql.m is not None:
         w = w + ql.m[..., None]
     return w.reshape(out_dim, in_dim).astype(dtype)
+
+
+def _apply_activation(y: jnp.ndarray, activation: str | None) -> jnp.ndarray:
+    if activation == "gelu_tanh":
+        return jax.nn.gelu(y, approximate=True)
+    if activation == "gelu_erf":
+        return jax.nn.gelu(y, approximate=False)
+    if activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
+    return y
 
 
 def quant_matmul(x: jnp.ndarray, ql, backend: str = "auto") -> jnp.ndarray:
@@ -62,18 +79,35 @@ def quant_matmul(x: jnp.ndarray, ql, backend: str = "auto") -> jnp.ndarray:
     return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def apply_linear(x: jnp.ndarray, layer: dict, backend: str = "auto") -> jnp.ndarray:
-    """Apply a linear layer whose kernel is either dense (in, out) or QuantLinear.
+def apply_linear(
+    x: jnp.ndarray,
+    layer: dict,
+    backend: str = "auto",
+    activation: str | None = None,
+) -> jnp.ndarray:
+    """Apply a linear layer whose kernel is either dense (in, out) or QuantLinear,
+    optionally followed by an activation (None | "gelu_tanh" | "gelu_erf").
 
     The matmul accumulates f32 on the MXU regardless of the requested output
     dtype; emitting the compute dtype directly lets XLA fuse the bias add into
     the matmul epilogue (a separate f32 add+convert pass costs ~13% of the
-    whole ViT forward — measured via jax.profiler, docs/TPU_NOTES.md)."""
+    whole ViT forward — measured via jax.profiler, docs/TPU_NOTES.md). For the
+    Pallas quantized path, bias AND activation ride in the kernel epilogue —
+    otherwise each quantized matmul pays a separate XLA elementwise pass over
+    the (M, N) output (the round-1 fused-quant large-batch gap)."""
     kernel = layer["kernel"]
     if hasattr(kernel, "ggml_type"):  # QuantLinear
+        if backend == "pallas" or (
+            backend == "auto" and jax.default_backend() == "tpu"
+        ):
+            from dinov2_tpu.ops.pallas_qmatmul import quant_matmul_pallas
+
+            return quant_matmul_pallas(
+                x, kernel, bias=layer.get("bias"), activation=activation
+            )
         y = quant_matmul(x, kernel, backend=backend)
     else:
         y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
     if "bias" in layer:
         y = y + layer["bias"].astype(x.dtype)
-    return y
+    return _apply_activation(y, activation)

@@ -111,7 +111,9 @@ def test_pallas_qmatmul_matches_dequant(t, rng):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.15)
 
 
-@pytest.mark.parametrize("t", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0])
+@pytest.mark.parametrize(
+    "t", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1]
+)
 def test_pallas_qmatmul_packed_nibbles(t, rng):
     """True 4-bit path: nibbles stay packed; activation K-permutation trick."""
     from dinov2_tpu.io.gguf import GGUFTensor
