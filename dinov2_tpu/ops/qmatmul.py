@@ -15,9 +15,23 @@ tensors are ggml blocks and everything else stays fp16/fp32
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
+
+def _resolve_backend(backend: str) -> str:
+    """Resolve the "auto" quantized-matmul backend: the env override
+    DINOV2_TPU_QUANT_BACKEND ("pallas" | "xla") wins (tests use it to force the
+    interpret-mode Pallas kernel on CPU), else pallas on TPU, xla elsewhere.
+    Read at trace time — each jit cache entry bakes the choice in."""
+    if backend != "auto":
+        return backend
+    env = os.environ.get("DINOV2_TPU_QUANT_BACKEND")
+    if env in ("pallas", "xla"):
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -66,9 +80,7 @@ def _apply_activation(y: jnp.ndarray, activation: str | None) -> jnp.ndarray:
 
 def quant_matmul(x: jnp.ndarray, ql, backend: str = "auto") -> jnp.ndarray:
     """y = x @ W^T where W is a packed (out, in) QuantLinear."""
-    if backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu"
-    ):
+    if _resolve_backend(backend) == "pallas":
         try:
             from dinov2_tpu.ops.pallas_qmatmul import quant_matmul_pallas
 
@@ -97,9 +109,7 @@ def apply_linear(
     the (M, N) output (the round-1 fused-quant large-batch gap)."""
     kernel = layer["kernel"]
     if hasattr(kernel, "ggml_type"):  # QuantLinear
-        if backend == "pallas" or (
-            backend == "auto" and jax.default_backend() == "tpu"
-        ):
+        if _resolve_backend(backend) == "pallas":
             from dinov2_tpu.ops.pallas_qmatmul import quant_matmul_pallas
 
             return quant_matmul_pallas(

@@ -58,12 +58,13 @@ class DinoEngine:
         from dinov2_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
-        if quant_mode == "fused" and (mesh_axes or data_parallel):
+        if quant_mode == "fused" and mesh_axes and "model" in mesh_axes:
             from dinov2_tpu.utils.logging import get_logger
 
             get_logger().warning(
-                "fused quantized matmul is single-device for now; "
-                "falling back to quant_mode='dequant' for the sharded engine"
+                "fused quantized matmul does not compose with tensor-parallel "
+                "weight sharding (packed codes can't be row-split); falling "
+                "back to quant_mode='dequant' for the 'model' mesh"
             )
             quant_mode = "dequant"
         self.loaded = load_params(model_path, dtype=dtype, quant_mode=quant_mode)
@@ -84,6 +85,31 @@ class DinoEngine:
         elif data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
             self.params = replicate(self.params, self.mesh)
+        # Fused quantized matmul under a data mesh: pallas_call has no GSPMD
+        # partitioning rule, so the whole forward runs per-device on its local
+        # batch shard via shard_map (pure DP, no collectives inside). The
+        # non-fused paths keep the sharding-annotation route (XLA propagates).
+        self._sm_forward = None
+        if quant_mode == "fused" and self.mesh is not None and self.loaded.quantized:
+            from functools import partial
+
+            from dinov2_tpu.parallel.mesh import shard_map_data_parallel
+
+            self._sm_forward = {
+                classify: shard_map_data_parallel(
+                    partial(
+                        forward,
+                        config=self.config,
+                        opts=self.opts,
+                        classify=classify,
+                    ),
+                    self.mesh,
+                )
+                for classify in (False, True)
+            }
+            self._jit_sm_forward = {
+                c: jax.jit(f) for c, f in self._sm_forward.items()
+            }
         log_model_banner(self.config, str(model_path))
         self.last_compute_ms = 0.0
         self._jit_classify_pre = jax.jit(classify_preprocess)
@@ -145,6 +171,14 @@ class DinoEngine:
         return x, n
 
     # ------------------------------------------------------------------
+    def _run_forward(self, x: jnp.ndarray, classify: bool):
+        """Dispatch the jitted forward: shard_map route for fused-quant on a
+        mesh, plain (sharding-annotated) jit otherwise."""
+        if self._sm_forward is not None:
+            return self._jit_sm_forward[classify](self.params, x)
+        return forward(self.params, x, self.config, self.opts, classify=classify)
+
+    # ------------------------------------------------------------------
     def classify(
         self, images: Sequence[np.ndarray] | np.ndarray, topk: int = 5
     ) -> list[list[tuple[str, float]]]:
@@ -173,8 +207,7 @@ class DinoEngine:
             inv = np.argsort(np.asarray(order))
             pre = pre[jnp.asarray(inv)]
             pre, n = self._bucket_pad(pre)
-            out = forward(self.params, pre, self.config, self.opts, classify=True)
-            return out, n
+            return self._run_forward(pre, classify=True), n
 
         (out, n), ms = time_blocked(run)
         self.last_compute_ms = ms
@@ -195,7 +228,7 @@ class DinoEngine:
 
         def run(x):
             pre = self._jit_feature_pre(x, p)
-            return forward(self.params, pre, self.config, self.opts, classify=False)
+            return self._run_forward(pre, classify=False)
 
         out, ms = time_blocked(run, x)
         self.last_compute_ms = ms
@@ -232,7 +265,14 @@ class DinoEngine:
         realtime.cpp:65-70). `params` rides as a jit ARGUMENT — closing over it
         would embed the weights as HLO constants (huge compile payloads)."""
         pre = feature_preprocess(x, p)
-        out = forward(params, pre, self.config, self.opts, classify=False)
+        if self._sm_forward is not None:
+            # shard_map needs batch % n_devices == 0; a single PCA frame is
+            # broadcast across the data mesh (row 0 read back)
+            ndev = self.mesh.devices.size
+            pre = jnp.broadcast_to(pre, (ndev, *pre.shape[1:]))
+            out = self._sm_forward[False](params, pre)
+        else:
+            out = forward(params, pre, self.config, self.opts, classify=False)
         tokens = out["patch_tokens"][0]
         return pca_visualization(tokens, (gh, gw), (gh * p, gw * p))
 
