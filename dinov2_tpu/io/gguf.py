@@ -321,6 +321,11 @@ class GGUFWriter:
                 if isinstance(value, (list, tuple))
                 else _value_type_for(value)
             )
+        if key == "general.alignment":
+            # the KV governs the data-section layout we are about to write
+            # (readers — ours and ggml's — honor it; writing offsets with a
+            # different alignment than the stored KV corrupts the file)
+            self.alignment = int(value)
         self._kvs.append(_KV(key, vtype, value, elem_type))
 
     def add_uint32(self, key: str, value: int) -> None:

