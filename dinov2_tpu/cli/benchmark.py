@@ -20,6 +20,16 @@ from pathlib import Path
 import numpy as np
 
 
+def _tree_device_bytes(tree) -> int:
+    """Actual HBM bytes of the live param buffers (quantized layouts included)."""
+    import jax
+
+    return sum(
+        leaf.nbytes for leaf in jax.tree_util.tree_leaves(tree)
+        if hasattr(leaf, "nbytes")
+    )
+
+
 def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode):
     import jax
     import jax.numpy as jnp
@@ -33,6 +43,7 @@ def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode):
         parity="reference", compute_dtype=dtype, flash_attention=flash
     )
     classify = loaded.has_classifier
+    weights_mb = _tree_device_bytes(loaded.params) / 2**20
 
     # warm the device->host transfer path once (tunnel quirk, docs/TPU_NOTES.md)
     float(jnp.sum(jnp.ones((8, 128))))
@@ -46,7 +57,6 @@ def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode):
 
         # params as a jit ARGUMENT (closures embed weights as HLO constants);
         # fresh input per repeat + scalar transfer to force true completion
-        @jax.jit
         def loop(params, x):
             def body(carry, _):
                 out = forward(params, carry, loaded.config, opts, classify=classify)
@@ -56,13 +66,27 @@ def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode):
             c, _ = jax.lax.scan(body, x, None, length=iters)
             return jnp.sum(c)
 
-        jax.block_until_ready(loop(loaded.params, x))  # compile + warmup
+        # AOT compile so XLA's buffer assignment is measurable: the reference
+        # reports peak RSS per configuration (/root/reference/scripts/
+        # benchmark.sh:73-78); the TPU like-for-like is the compiled program's
+        # HBM plan (weights ride as arguments, temps = activation workspace)
+        compiled = jax.jit(loop).lower(loaded.params, x).compile()
+        mem = compiled.memory_analysis()
+        if mem is not None and getattr(mem, "peak_memory_in_bytes", 0):
+            # peak_memory_in_bytes includes argument (weight) buffers — checked
+            # empirically on v5e: a 64 MB-arg program reports >= 64 MB peak
+            peak_mb = mem.peak_memory_in_bytes / 2**20
+            temp_mb = mem.temp_size_in_bytes / 2**20
+        else:  # backend without buffer-assignment reporting
+            peak_mb = temp_mb = None
+
+        jax.block_until_ready(compiled(loaded.params, x))  # warmup run
         best = float("inf")
         for r in range(2):
             xf = x * (1.0 + 1e-6 * (r + 1))
             jax.block_until_ready(xf)
             t0 = time.perf_counter()
-            float(loop(loaded.params, xf))
+            float(compiled(loaded.params, xf))
             best = min(best, time.perf_counter() - t0)
         ms_per_batch = best / iters * 1e3
         dt = best
@@ -72,6 +96,9 @@ def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode):
                 "ms_per_batch": round(ms_per_batch, 3),
                 "ms_per_image": round(ms_per_batch / batch, 3),
                 "images_per_sec": round(batch * iters / dt, 1),
+                "hbm_weights_mb": round(weights_mb, 1),
+                "hbm_peak_mb": None if peak_mb is None else round(peak_mb, 1),
+                "hbm_temp_mb": None if temp_mb is None else round(temp_mb, 1),
             }
         )
     return loaded.config, rows
@@ -123,7 +150,8 @@ def main(argv=None) -> int:
     for name, path, qmode in variants:
         print(f"benchmarking {name}...", file=sys.stderr)
         _, rows = _bench_model(
-            path, batch_sizes, args.iters, args.dtype, args.flash_attn, qmode
+            path, batch_sizes, args.iters, args.dtype,
+            True if args.flash_attn else "auto", qmode
         )
         results[name] = rows
 
@@ -132,12 +160,21 @@ def main(argv=None) -> int:
     else:
         for name, rows in results.items():
             print(f"\n### {name}\n")
-            print("| batch | ms/batch | ms/image | images/sec |")
-            print("|------:|---------:|---------:|-----------:|")
+            print(
+                "| batch | ms/batch | ms/image | images/sec "
+                "| weights MB | peak HBM MB | temps MB |"
+            )
+            print(
+                "|------:|---------:|---------:|-----------:"
+                "|-----------:|------------:|---------:|"
+            )
             for r in rows:
+                fmt = lambda v: "-" if v is None else v
                 print(
                     f"| {r['batch']} | {r['ms_per_batch']} | "
-                    f"{r['ms_per_image']} | {r['images_per_sec']} |"
+                    f"{r['ms_per_image']} | {r['images_per_sec']} | "
+                    f"{fmt(r['hbm_weights_mb'])} | {fmt(r['hbm_peak_mb'])} | "
+                    f"{fmt(r['hbm_temp_mb'])} |"
                 )
     return 0
 

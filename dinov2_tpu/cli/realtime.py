@@ -67,6 +67,11 @@ def main(argv=None) -> int:
     parser.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = endless)")
     parser.add_argument("--no-display", action="store_true")
     parser.add_argument("--save-last", default=None, help="write the final hconcat frame here")
+    parser.add_argument(
+        "--no-pipeline", action="store_true",
+        help="synchronous per-frame loop (exact per-frame compute timing; "
+        "default pipelines frame N+1's upload under frame N's compute)",
+    )
     args = parser.parse_args(argv)
 
     from dinov2_tpu.runtime.engine import DinoEngine
@@ -88,13 +93,16 @@ def main(argv=None) -> int:
         except Exception:
             display = False
 
+    import cv2
+
     last = None
     n = 0
+    quit_requested = False
     t_start = time.perf_counter()
-    for frame in _frame_source(args):
-        vis = engine.pca_visualization(frame)
-        import cv2
 
+    def show(frame, vis) -> bool:
+        """Resize/compose/display one finished frame; returns False on 'q'."""
+        nonlocal last, n
         vis = cv2.resize(vis, (WIDTH, HEIGHT), interpolation=cv2.INTER_NEAREST)
         combined = np.concatenate([frame, vis], axis=1)
         last = combined
@@ -106,9 +114,43 @@ def main(argv=None) -> int:
         if display:
             cv2.imshow("dinov2-tpu realtime", cv2.cvtColor(combined, cv2.COLOR_RGB2BGR))
             if cv2.waitKey(1) & 0xFF == ord("q"):
+                return False
+        return True
+
+    if args.no_pipeline:
+        for frame in _frame_source(args):
+            vis = engine.pca_visualization(frame)
+            if not show(frame, vis):
                 break
-        if args.frames and n >= args.frames:
-            break
+            if args.frames and n >= args.frames:
+                break
+    else:
+        # Double-buffered: dispatch frame N (async upload + compute), then
+        # while the device works, grab/decode frame N+1 and materialize frame
+        # N-1's result. Display lags one frame; throughput hides one full
+        # host<->device round-trip per frame (the dominant cost through a
+        # tunnel-attached TPU, docs/TPU_NOTES.md).
+        pending: tuple[np.ndarray, object] | None = None
+        t_frame = time.perf_counter()
+        for frame in _frame_source(args):
+            fut = engine.pca_visualization_async(frame)
+            if pending is not None:
+                pframe, pfut = pending
+                vis = np.asarray(pfut)  # overlaps with `fut`'s upload/compute
+                engine.last_compute_ms = (time.perf_counter() - t_frame) * 1e3
+                t_frame = time.perf_counter()
+                if not show(pframe, vis):
+                    quit_requested = True
+                    break
+            pending = (frame, fut)
+            if args.frames and n >= args.frames - 1:
+                break
+        if pending is not None and not quit_requested and (
+            not args.frames or n < args.frames
+        ):
+            pframe, pfut = pending
+            engine.last_compute_ms = (time.perf_counter() - t_frame) * 1e3
+            show(pframe, np.asarray(pfut))
 
     dt = time.perf_counter() - t_start
     if n:

@@ -55,3 +55,19 @@ def pca_visualization(
     proj = pca_project(patch_tokens, 3)
     grid = pca_to_u8_grid(proj, grid_hw)
     return resize_nearest(grid, out_hw[0], out_hw[1])
+
+
+@functools.partial(jax.jit, static_argnames=("grid_hw", "out_hw"))
+def pca_visualization_batch(
+    patch_tokens: jnp.ndarray, grid_hw: tuple[int, int], out_hw: tuple[int, int]
+) -> jnp.ndarray:
+    """(B, N, D) -> (B, h, w, 3) uint8: the per-image PCA pipeline vmapped over
+    the batch (each image keeps its OWN PCA basis and min-max range, matching
+    the reference's per-image cv::PCA, /root/reference/inference.cpp:76-99).
+    One device dispatch for the whole batch — the eigh/project/normalize chain
+    runs as B independent lanes instead of a host loop of tiny programs."""
+    return jax.vmap(
+        lambda t: resize_nearest(
+            pca_to_u8_grid(pca_project(t, 3), grid_hw), out_hw[0], out_hw[1]
+        )
+    )(patch_tokens)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dinov2_tpu.image.pca import pca_visualization
+from dinov2_tpu.image.pca import pca_visualization_batch
 from dinov2_tpu.image.preprocess import classify_preprocess, feature_preprocess
 from dinov2_tpu.models.params import load_params
 from dinov2_tpu.models.vit import ModelOptions, forward
@@ -260,32 +260,60 @@ class DinoEngine:
     def _pca_full(
         self, params, x: jnp.ndarray, p: int, gh: int, gw: int
     ) -> jnp.ndarray:
-        """Fused preprocess -> forward -> PCA, one device dispatch per frame
-        (the realtime loop's hot path; reference rebuilds its graph per frame,
-        realtime.cpp:65-70). `params` rides as a jit ARGUMENT — closing over it
-        would embed the weights as HLO constants (huge compile payloads)."""
+        """Fused preprocess -> forward -> per-image PCA for a whole (B, H, W, 3)
+        batch, one device dispatch (the realtime loop's hot path; reference
+        rebuilds its graph per frame, realtime.cpp:65-70). `params` rides as a
+        jit ARGUMENT — closing over it would embed the weights as HLO
+        constants (huge compile payloads)."""
         pre = feature_preprocess(x, p)
         if self._sm_forward is not None:
-            # shard_map needs batch % n_devices == 0; a single PCA frame is
-            # broadcast across the data mesh (row 0 read back)
-            ndev = self.mesh.devices.size
-            pre = jnp.broadcast_to(pre, (ndev, *pre.shape[1:]))
             out = self._sm_forward[False](params, pre)
         else:
             out = forward(params, pre, self.config, self.opts, classify=False)
-        tokens = out["patch_tokens"][0]
-        return pca_visualization(tokens, (gh, gw), (gh * p, gw * p))
+        return pca_visualization_batch(
+            out["patch_tokens"], (gh, gw), (gh * p, gw * p)
+        )
+
+    def _pca_batch(self, batch: np.ndarray) -> np.ndarray:
+        """Same-size images (B, H, W, 3) -> (B, h, w, 3) uint8 PCA images."""
+        p = self.config.patch_size
+        gh, gw = batch.shape[1] // p + 1, batch.shape[2] // p + 1
+        x, n = self._device_batch(batch)  # pads to bucket/mesh multiple
+        vis, ms = time_blocked(self._jit_pca, self.params, x, p, gh, gw)
+        self.last_compute_ms = ms
+        return np.asarray(vis)[:n]
 
     def pca_visualization(self, image: np.ndarray) -> np.ndarray:
         """One RGB image -> uint8 PCA visualization at the preprocessed size
         (reference upscales the patch grid with INTER_NEAREST to the model input
         size, inference.cpp:95-97)."""
         img = image[None] if image.ndim == 3 else image
+        return self._pca_batch(np.asarray(img))[0]
+
+    def pca_visualization_async(self, image: np.ndarray) -> jnp.ndarray:
+        """Dispatch one frame's fused preprocess+forward+PCA WITHOUT blocking;
+        returns the on-device uint8 result (np.asarray it to wait). JAX's async
+        dispatch means the caller can grab/decode the NEXT frame while this one
+        uploads and computes — the realtime loop's double-buffering primitive
+        (the reference's loop is fully synchronous, realtime.cpp:55-100)."""
+        img = image[None] if image.ndim == 3 else image
+        batch = np.asarray(img)
         p = self.config.patch_size
-        gh, gw = img.shape[1] // p + 1, img.shape[2] // p + 1
-        vis, ms = time_blocked(self._jit_pca, self.params, jnp.asarray(img), p, gh, gw)
-        self.last_compute_ms = ms
-        return np.asarray(vis)
+        gh, gw = batch.shape[1] // p + 1, batch.shape[2] // p + 1
+        x, _ = self._device_batch(batch)
+        return self._jit_pca(self.params, x, p, gh, gw)[0]
+
+    def pca_visualizations(self, images) -> list[np.ndarray]:
+        """Mixed-size images -> per-image uint8 PCA visualizations: grouped by
+        (H, W), ONE fused preprocess+forward+vmapped-PCA program per group."""
+        groups = self._group_by_shape(images)
+        n_total = sum(len(idxs) for idxs, _ in groups)
+        out: list[np.ndarray | None] = [None] * n_total
+        for idxs, batch in groups:
+            vis = self._pca_batch(batch)
+            for row, i in enumerate(idxs):
+                out[i] = vis[row]
+        return out  # type: ignore[return-value]
 
     # ------------------------------------------------------------------
     def warmup(self, image_hw: tuple[int, int], batch: int = 1, classify: bool = True):

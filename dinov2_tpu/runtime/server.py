@@ -155,11 +155,16 @@ class BatchingServer:
                     for p, r in zip(items, results):
                         p.result = {"topk": [[label, prob] for label, prob in r]}
                 else:
-                    for p in items:  # feature grids differ per size
-                        feats = self.engine.extract_features(p.image)
+                    # one batched forward per (H, W) shape group — mixed sizes
+                    # can't share a program (the patch grid is shape-defining)
+                    # but same-size concurrent requests coalesce
+                    feats = self.engine.extract_features_mixed(
+                        [p.image for p in items]
+                    )
+                    for p, f in zip(items, feats):
                         p.result = {
-                            "cls_token": feats["cls_token"][0].tolist(),
-                            "grid": list(feats["grid"]),
+                            "cls_token": f["cls_token"].tolist(),
+                            "grid": list(f["grid"]),
                         }
             except Exception as e:  # noqa: BLE001
                 for p in items:

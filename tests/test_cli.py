@@ -78,7 +78,44 @@ def test_realtime_synthetic_cli(ckpt, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "FPS" in r.stderr
+    assert "frame 2:" in r.stderr  # pipelined loop still shows every frame
     assert out.exists()
+
+
+def test_realtime_no_pipeline_cli(ckpt, tmp_path):
+    out = tmp_path / "last_sync.jpg"
+    r = _run(
+        f"sys.exit(realtime.main(['-m', {str(ckpt)!r}, '--synthetic', "
+        f"'--frames', '2', '--no-display', '--no-pipeline', "
+        f"'--save-last', {str(out)!r}, '--dtype', 'f32']))"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "frame 2:" in r.stderr and "FPS" in r.stderr
+    assert out.exists()
+
+
+def test_benchmark_torch_script(tmp_path, monkeypatch):
+    """Same-host torch baseline (P2 analog) runs end-to-end on a tiny config."""
+    import json
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import benchmark_torch
+    finally:
+        sys.path.pop(0)
+    monkeypatch.setitem(
+        benchmark_torch.SIZES,
+        "tiny",
+        dict(hidden_size=64, num_hidden_layers=2, num_attention_heads=2),
+    )
+    out = tmp_path / "torch.json"
+    rc = benchmark_torch.main(["--sizes", "tiny", "--iters", "2", "--json", str(out)])
+    assert rc == 0
+    data = json.loads(out.read_text())
+    row = data["results"][0]
+    assert row["size"] == "tiny"
+    assert row["fwd_ms"] > 0 and row["load_fwd_ms"] >= row["fwd_ms"]
+    assert row["peak_rss_mb"] > 0
 
 
 def test_quantize_cli(ckpt, tmp_path):

@@ -88,6 +88,21 @@ def test_engine_features_mixed_sizes(tiny_gguf, rng):
     )
 
 
+def test_engine_pca_batched_mixed_sizes(tiny_gguf, rng):
+    """pca_visualizations groups by shape and runs one fused program per group;
+    each image keeps its own PCA basis (must equal the single-image path)."""
+    engine = DinoEngine(tiny_gguf, dtype=jnp.float32)
+    imgs = [
+        rng.integers(0, 256, (100, 120, 3), dtype=np.uint8),
+        rng.integers(0, 256, (64, 64, 3), dtype=np.uint8),
+        rng.integers(0, 256, (100, 120, 3), dtype=np.uint8),
+    ]
+    vis = engine.pca_visualizations(imgs)
+    assert [v.shape for v in vis] == [(112, 126, 3), (70, 70, 3), (112, 126, 3)]
+    for i in (0, 1):
+        np.testing.assert_array_equal(vis[i], engine.pca_visualization(imgs[i]))
+
+
 def test_engine_features_518px(tiny_gguf, rng):
     """The reference's headline feature config: 518px input -> 37x37(+1) grid
     (quirk Q4 rounds 518 up to 38x38 patches of 14)."""

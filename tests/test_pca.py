@@ -44,3 +44,14 @@ def test_visualization_shape(rng):
     vis = np.asarray(pca_visualization(tokens, (8, 9), (8 * 14, 9 * 14)))
     assert vis.shape == (112, 126, 3)
     assert vis.dtype == np.uint8
+
+
+def test_visualization_batch_matches_single(rng):
+    from dinov2_tpu.image.pca import pca_visualization_batch
+
+    tokens = jnp.asarray(rng.standard_normal((3, 8 * 9, 64)), jnp.float32)
+    batched = np.asarray(pca_visualization_batch(tokens, (8, 9), (112, 126)))
+    assert batched.shape == (3, 112, 126, 3) and batched.dtype == np.uint8
+    for i in range(3):
+        single = np.asarray(pca_visualization(tokens[i], (8, 9), (112, 126)))
+        np.testing.assert_array_equal(batched[i], single)

@@ -94,6 +94,43 @@ def test_concurrent_requests_batch(server, rng):
     assert server.stats["batches"] - before < 6
 
 
+def test_concurrent_feature_requests_coalesce(server, rng):
+    """VERDICT r1 item 7: concurrent /features posts must coalesce into fewer
+    engine forwards (one batched forward per same-size shape group), not a
+    per-image loop."""
+    engine = server.engine
+    calls = []
+    orig = engine.extract_features
+
+    def counting(images):
+        batch = images if isinstance(images, np.ndarray) else np.stack(images)
+        calls.append(batch.shape[0] if batch.ndim == 4 else 1)
+        return orig(images)
+
+    engine.extract_features = counting
+    try:
+        results = [None] * 6
+        errors = []
+
+        def call(i):
+            try:
+                results[i] = _post(server.port, "/features", _jpg(rng, 70, 70))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+    finally:
+        engine.extract_features = orig
+    assert not errors and all(r is not None for r in results)
+    # 6 same-size images -> strictly fewer forward calls than images
+    assert len(calls) < 6
+    assert sum(calls) == 6
+
+
 def test_bad_image_400(server):
     req = urllib.request.Request(
         f"http://127.0.0.1:{server.port}/classify", data=b"not an image", method="POST"
