@@ -136,7 +136,7 @@ def main(argv=None) -> int:
             fut = engine.pca_visualization_async(frame)
             if pending is not None:
                 pframe, pfut = pending
-                vis = np.asarray(pfut)  # overlaps with `fut`'s upload/compute
+                vis = np.asarray(pfut)[0]  # overlaps with `fut`'s upload/compute
                 engine.last_compute_ms = (time.perf_counter() - t_frame) * 1e3
                 t_frame = time.perf_counter()
                 if not show(pframe, vis):
@@ -150,7 +150,7 @@ def main(argv=None) -> int:
         ):
             pframe, pfut = pending
             engine.last_compute_ms = (time.perf_counter() - t_frame) * 1e3
-            show(pframe, np.asarray(pfut))
+            show(pframe, np.asarray(pfut)[0])
 
     dt = time.perf_counter() - t_start
     if n:

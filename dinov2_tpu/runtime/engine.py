@@ -301,7 +301,11 @@ class DinoEngine:
         p = self.config.patch_size
         gh, gw = batch.shape[1] // p + 1, batch.shape[2] // p + 1
         x, _ = self._device_batch(batch)
-        return self._jit_pca(self.params, x, p, gh, gw)[0]
+        # returns the (bucket, h, w, 3) device array — callers index row 0
+        # AFTER np.asarray; an eager [0] here would dispatch a separate
+        # gather program per frame (a full RPC round-trip on tunnel-attached
+        # devices)
+        return self._jit_pca(self.params, x, p, gh, gw)
 
     def pca_visualizations(self, images) -> list[np.ndarray]:
         """Mixed-size images -> per-image uint8 PCA visualizations: grouped by

@@ -37,3 +37,23 @@ def test_verify_parity_local_checkpoint(tmp_path):
     )
     assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
     assert "PARITY OK" in r.stdout
+
+
+def test_verify_parity_local_random_mode(monkeypatch):
+    """--local-random builds the HF oracle at the configured dims with no
+    network (the mode that generated docs/PARITY.md's tolerance table)."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import verify_parity
+    finally:
+        sys.path.pop(0)
+    monkeypatch.setitem(
+        verify_parity.LOCAL_SIZES,
+        "tiny",
+        dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+             intermediate_size=64),
+    )
+    rc = verify_parity.main(
+        ["--cpu", "--local-random", "tiny", "--registers", "--backbone"]
+    )
+    assert rc == 0
