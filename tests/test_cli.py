@@ -128,3 +128,27 @@ def test_quantize_cli(ckpt, tmp_path):
     rd = GGUFReader(out)
     assert GGMLType(rd.kv["ftype"]) == GGMLType.Q5_0
     rd.close()
+
+
+def test_benchmark_cli_memory_columns(ckpt):
+    """cli.benchmark reports measured HBM columns (VERDICT r1 item 6)."""
+    import json
+
+    from dinov2_tpu.cli import benchmark
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = benchmark.main(
+            ["-m", str(ckpt), "--batch-sizes", "1,2", "--iters", "1",
+             "--dtype", "f32", "--json"]
+        )
+    assert rc == 0
+    rows = json.loads(buf.getvalue())["f16"]
+    assert [r["batch"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["hbm_weights_mb"] > 0
+        # XLA CPU reports buffer assignment too; peak covers weights + temps
+        assert r["hbm_peak_mb"] is None or r["hbm_peak_mb"] >= r["hbm_weights_mb"]
+        assert r["images_per_sec"] > 0
