@@ -68,9 +68,16 @@ def main(argv=None) -> int:
     parser.add_argument("--no-display", action="store_true")
     parser.add_argument("--save-last", default=None, help="write the final hconcat frame here")
     parser.add_argument(
-        "--no-pipeline", action="store_true",
-        help="synchronous per-frame loop (exact per-frame compute timing; "
-        "default pipelines frame N+1's upload under frame N's compute)",
+        "--pipeline", action="store_true",
+        help="double-buffer: dispatch frame N+1's upload/compute while frame "
+        "N's result is read back (display lags one frame). Wins on a "
+        "directly-attached TPU where host<->device DMA overlaps compute; "
+        "measured HARMFUL through a serialized-RPC tunnel attachment (two "
+        "in-flight executions queue behind each other), hence opt-in.",
+    )
+    parser.add_argument(
+        "--no-pipeline", dest="pipeline", action="store_false",
+        help=argparse.SUPPRESS,  # back-compat alias for the old default flag
     )
     args = parser.parse_args(argv)
 
@@ -117,7 +124,7 @@ def main(argv=None) -> int:
                 return False
         return True
 
-    if args.no_pipeline:
+    if not args.pipeline:
         for frame in _frame_source(args):
             vis = engine.pca_visualization(frame)
             if not show(frame, vis):

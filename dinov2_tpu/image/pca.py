@@ -59,15 +59,35 @@ def pca_visualization(
 
 @functools.partial(jax.jit, static_argnames=("grid_hw", "out_hw"))
 def pca_visualization_batch(
-    patch_tokens: jnp.ndarray, grid_hw: tuple[int, int], out_hw: tuple[int, int]
+    patch_tokens: jnp.ndarray,
+    grid_hw: tuple[int, int],
+    out_hw: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """(B, N, D) -> (B, h, w, 3) uint8: the per-image PCA pipeline vmapped over
     the batch (each image keeps its OWN PCA basis and min-max range, matching
     the reference's per-image cv::PCA, /root/reference/inference.cpp:76-99).
     One device dispatch for the whole batch — the eigh/project/normalize chain
-    runs as B independent lanes instead of a host loop of tiny programs."""
-    return jax.vmap(
-        lambda t: resize_nearest(
-            pca_to_u8_grid(pca_project(t, 3), grid_hw), out_hw[0], out_hw[1]
-        )
-    )(patch_tokens)
+    runs as B independent lanes instead of a host loop of tiny programs.
+
+    out_hw=None (or == grid_hw) skips the on-device nearest upscale and
+    returns patch-grid-sized images: the device->host transfer is then ~p²
+    (=196) times smaller, and the host replicates pixels instead (exactly the
+    reference's division of labor, inference.cpp:95-97 — it PCAs at grid size
+    and INTER_NEAREST-upscales on the CPU)."""
+    def one(t):
+        grid = pca_to_u8_grid(pca_project(t, 3), grid_hw)
+        if out_hw is None or tuple(out_hw) == tuple(grid_hw):
+            return grid
+        return resize_nearest(grid, out_hw[0], out_hw[1])
+
+    return jax.vmap(one)(patch_tokens)
+
+
+def upscale_nearest_host(grid_u8, patch_size: int):
+    """(..., h, w, 3) uint8 patch grid -> (..., h*p, w*p, 3) by pixel
+    replication on the host (numpy repeat == cv2 INTER_NEAREST for integer
+    scale factors)."""
+    import numpy as np
+
+    out = np.repeat(np.asarray(grid_u8), patch_size, axis=-3)
+    return np.repeat(out, patch_size, axis=-2)

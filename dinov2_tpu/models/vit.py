@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from dinov2_tpu.image.posembed import interpolate_pos_embed
 from dinov2_tpu.models.config import DinoConfig
-from dinov2_tpu.ops.attention import self_attention
+from dinov2_tpu.ops.attention import self_attention_block
 from dinov2_tpu.ops.qmatmul import apply_linear
 
 
@@ -92,13 +92,13 @@ def encoder_layer(
 ) -> jnp.ndarray:
     x = _sequence_shard(x, opts)
     h = layer_norm(x, layer["norm1"], config.eps)
-    h = self_attention(
-        h, layer["qkv"], layer["proj"], config.num_attention_heads,
-        flash=opts.flash_attention,
-    )
     # LayerScale + residual in the compute dtype (keeps the whole residual
-    # stream fusable; ls values are O(1e-5..1), well inside bf16 range)
-    x = x + h * layer["ls1"].astype(x.dtype)
+    # stream fusable; ls values are O(1e-5..1), well inside bf16 range); on
+    # the slab path proj+bias+ls+residual run inside the attention kernel
+    x = self_attention_block(
+        x, h, layer["qkv"], layer["proj"], layer["ls1"],
+        config.num_attention_heads, flash=opts.flash_attention,
+    )
 
     h = layer_norm(x, layer["norm2"], config.eps)
     if config.swiglu:

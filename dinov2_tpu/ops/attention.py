@@ -79,6 +79,46 @@ def use_flash(flash, t: int, d: int) -> bool:
     return resolve_attention_path(flash, t, d) != "vanilla"
 
 
+def self_attention_block(
+    x_res: jnp.ndarray,
+    x_norm: jnp.ndarray,
+    qkv_params: dict,
+    proj_params: dict,
+    ls1: jnp.ndarray,
+    num_heads: int,
+    flash=False,
+) -> jnp.ndarray:
+    """Residual attention block: x_res + ls1 * proj(attention(qkv(x_norm))).
+
+    On the slab path with a dense proj, the output projection + bias +
+    LayerScale + residual ride INSIDE the Pallas kernel
+    (ops/fused_attention.py::slab_attention_block) — skipping one attention
+    -slab write + read of HBM per layer. Quantized proj (fused-quant mode) and
+    the flash/vanilla paths keep the unfused ordering (same numerics)."""
+    b, t, d = x_norm.shape
+    hd = d // num_heads
+    scale = 1.0 / (hd**0.5)
+    proj_kernel = proj_params["kernel"]
+    if (
+        resolve_attention_path(flash, t, d) == "slab"
+        and not hasattr(proj_kernel, "ggml_type")
+        and "bias" in proj_params
+    ):
+        from dinov2_tpu.ops.fused_attention import (
+            fits_slab_proj,
+            slab_attention_block,
+        )
+
+        if fits_slab_proj(t, d, x_norm.dtype.itemsize):
+            qkv = apply_linear(x_norm, qkv_params)
+            return slab_attention_block(
+                x_res, qkv, proj_kernel, proj_params["bias"], ls1,
+                num_heads, scale,
+            )
+    out = self_attention(x_norm, qkv_params, proj_params, num_heads, flash=flash)
+    return x_res + out * ls1.astype(x_res.dtype)
+
+
 def self_attention(
     x: jnp.ndarray,
     qkv_params: dict,

@@ -158,6 +158,149 @@ def _slab_reference(qkv, num_heads, scale):
     return vanilla_attention(q, k, v, scale).reshape(b, t, three_d // 3)
 
 
+# ---------------------------------------------------------------------------
+# Slab attention + output projection + LayerScale + residual, one kernel
+# ---------------------------------------------------------------------------
+#
+# After the attention core, XLA's path writes the (B, T, D) attention slab to
+# HBM, re-reads it for the proj matmul, and writes the projected slab again
+# (LayerScale/residual fuse into the proj epilogue). Keeping proj in the same
+# kernel removes one slab write + one slab read per layer (~50 MB at the
+# ViT-B/14 b64 bench shape) and feeds the MXU straight from VMEM.
+
+
+def _slab_proj_kernel(
+    x_ref, qkv_ref, w_ref, bb_ref, ls_ref, o_ref, a_scr, *, num_heads, scale, d, nb
+):
+    hd = d // num_heads
+    fold_scale = _is_pow2(scale)
+    for b in range(nb):
+        for h in range(num_heads):
+            q = qkv_ref[b, :, h * hd : (h + 1) * hd]
+            k = qkv_ref[b, :, d + h * hd : d + (h + 1) * hd]
+            v = qkv_ref[b, :, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+            if fold_scale:
+                q = q * jnp.asarray(scale, q.dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if not fold_scale:
+                s = s * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2((s - m) * _LOG2E)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            a_scr[b, :, h * hd : (h + 1) * hd] = (pv / l).astype(a_scr.dtype)
+        # proj + bias + LayerScale + residual, numerics-ordered exactly like the
+        # XLA path (ops/qmatmul.py::apply_linear + models/vit.py): f32 matmul
+        # accumulate -> cast to compute dtype -> +bias -> *ls -> +residual
+        acc = jax.lax.dot_general(
+            a_scr[b], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = acc.astype(o_ref.dtype) + bb_ref[:].astype(o_ref.dtype)
+        o_ref[b] = x_ref[b] + y * ls_ref[:].astype(o_ref.dtype)
+
+
+def _proj_block_cost(nb: int, t: int, d: int, itemsize: int = 2) -> int:
+    slab = nb * t * 3 * d * itemsize
+    xio = nb * t * d * itemsize  # residual in, output out, attention scratch
+    scores = -(-t // 8) * 8 * -(-t // 128) * 128 * 4
+    return 2 * (slab + 2 * xio) + xio + d * d * itemsize + 2 * scores
+
+
+def fits_slab_proj(t: int, d: int, itemsize: int = 2) -> bool:
+    return t <= MAX_SLAB_TOKENS and _proj_block_cost(1, t, d, itemsize) < _VMEM_BUDGET
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def slab_attention_block(
+    x: jnp.ndarray,
+    qkv: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    b_proj: jnp.ndarray,
+    ls1: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """x + LayerScale * (slab_attention(qkv) @ w_proj + b_proj), one kernel.
+
+    x: (B, T, D) residual stream; qkv: (B, T, 3D) fused-qkv slab;
+    w_proj: (D, D) stored (in, out) like every dense kernel; b_proj/ls1: (D,).
+    Differentiable via recompute, like slab_attention."""
+    return _slab_block_forward(x, qkv, w_proj, b_proj, ls1, num_heads, scale, interpret)
+
+
+def _slab_block_forward(x, qkv, w_proj, b_proj, ls1, num_heads, scale, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, three_d = qkv.shape
+    d = three_d // 3
+    nb = 1
+    for cand in (2, 4):
+        if b % cand == 0 and _proj_block_cost(cand, t, d, qkv.dtype.itemsize) < _VMEM_BUDGET:
+            nb = cand
+
+    return pl.pallas_call(
+        functools.partial(
+            _slab_proj_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb
+        ),
+        grid=(b // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, t, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((nb, t, d), qkv.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * t * t * d + 2 * b * t * d * d,
+            bytes_accessed=(qkv.size + 2 * x.size) * qkv.dtype.itemsize + d * d * 2,
+            transcendentals=b * num_heads * t * t,
+        ),
+    )(x, qkv, w_proj.astype(qkv.dtype), b_proj.reshape(1, d), ls1.reshape(1, d))
+
+
+def _slab_block_reference(x, qkv, w_proj, b_proj, ls1, num_heads, scale):
+    """Unfused reference math: matches apply_linear + encoder_layer ordering."""
+    out = _slab_reference(qkv, num_heads, scale)
+    y = jnp.dot(out, w_proj.astype(out.dtype), preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype) + b_proj.astype(x.dtype)
+    return x + y * ls1.astype(x.dtype)
+
+
+def _slab_block_fwd(x, qkv, w_proj, b_proj, ls1, num_heads, scale, interpret):
+    out = _slab_block_forward(x, qkv, w_proj, b_proj, ls1, num_heads, scale, interpret)
+    return out, (x, qkv, w_proj, b_proj, ls1)
+
+
+def _slab_block_bwd(num_heads, scale, interpret, residuals, g):
+    x, qkv, w_proj, b_proj, ls1 = residuals
+    _, vjp = jax.vjp(
+        lambda x_, s_, w_, b_, l_: _slab_block_reference(
+            x_, s_, w_, b_, l_, num_heads, scale
+        ),
+        x, qkv, w_proj, b_proj, ls1,
+    )
+    return vjp(g)
+
+
+slab_attention_block.defvjp(_slab_block_fwd, _slab_block_bwd)
+
+
 def _slab_fwd(qkv, num_heads, scale, interpret):
     return _slab_forward(qkv, num_heads, scale, interpret), (qkv,)
 

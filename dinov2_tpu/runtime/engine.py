@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dinov2_tpu.image.pca import pca_visualization_batch
+from dinov2_tpu.image.pca import pca_visualization_batch, upscale_nearest_host
 from dinov2_tpu.image.preprocess import classify_preprocess, feature_preprocess
 from dinov2_tpu.models.params import load_params
 from dinov2_tpu.models.vit import ModelOptions, forward
@@ -270,9 +270,10 @@ class DinoEngine:
             out = self._sm_forward[False](params, pre)
         else:
             out = forward(params, pre, self.config, self.opts, classify=False)
-        return pca_visualization_batch(
-            out["patch_tokens"], (gh, gw), (gh * p, gw * p)
-        )
+        # grid-sized output: the host replicates pixels (p^2 x smaller
+        # device->host transfer — through a tunnel-attached TPU this halves
+        # the whole realtime frame time)
+        return pca_visualization_batch(out["patch_tokens"], (gh, gw))
 
     def _pca_batch(self, batch: np.ndarray) -> np.ndarray:
         """Same-size images (B, H, W, 3) -> (B, h, w, 3) uint8 PCA images."""
@@ -281,7 +282,7 @@ class DinoEngine:
         x, n = self._device_batch(batch)  # pads to bucket/mesh multiple
         vis, ms = time_blocked(self._jit_pca, self.params, x, p, gh, gw)
         self.last_compute_ms = ms
-        return np.asarray(vis)[:n]
+        return upscale_nearest_host(np.asarray(vis)[:n], p)
 
     def pca_visualization(self, image: np.ndarray) -> np.ndarray:
         """One RGB image -> uint8 PCA visualization at the preprocessed size

@@ -78,15 +78,16 @@ def test_realtime_synthetic_cli(ckpt, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "FPS" in r.stderr
-    assert "frame 2:" in r.stderr  # pipelined loop still shows every frame
+    assert "frame 2:" in r.stderr
     assert out.exists()
 
 
-def test_realtime_no_pipeline_cli(ckpt, tmp_path):
-    out = tmp_path / "last_sync.jpg"
+def test_realtime_pipelined_cli(ckpt, tmp_path):
+    """Opt-in double-buffered loop still shows every frame and saves output."""
+    out = tmp_path / "last_pipe.jpg"
     r = _run(
         f"sys.exit(realtime.main(['-m', {str(ckpt)!r}, '--synthetic', "
-        f"'--frames', '2', '--no-display', '--no-pipeline', "
+        f"'--frames', '2', '--no-display', '--pipeline', "
         f"'--save-last', {str(out)!r}, '--dtype', 'f32']))"
     )
     assert r.returncode == 0, r.stderr[-2000:]

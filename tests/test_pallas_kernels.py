@@ -221,3 +221,33 @@ def test_fits_slab_budget():
     # over the VMEM budget -> the online-softmax flash kernel takes over
     assert not fits_slab(1370, 384)
     assert not fits_slab(12000, 1024)  # native-res features -> flash kernel
+
+
+def test_slab_block_matches_unfused(rng):
+    """slab_attention_block (attention + proj + bias + LayerScale + residual in
+    one kernel) must match the unfused ordering bit-for-bit in f32."""
+    import jax
+    from dinov2_tpu.ops.fused_attention import (
+        _slab_block_reference,
+        slab_attention_block,
+    )
+
+    b, t, heads, d = 2, 37, 4, 64
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.1, 1.0, d), jnp.float32)
+    scale = 1.0 / (d // heads) ** 0.5
+
+    got = np.asarray(slab_attention_block(x, qkv, w, bias, ls, heads, scale, True))
+    want = np.asarray(_slab_block_reference(x, qkv, w, bias, ls, heads, scale))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # gradient flows through the recompute VJP
+    def loss(x, qkv, w):
+        return jnp.sum(slab_attention_block(x, qkv, w, bias, ls, heads, scale, True) ** 2)
+
+    gx, gq, gw = jax.grad(loss, argnums=(0, 1, 2))(x, qkv, w)
+    for g in (gx, gq, gw):
+        assert np.isfinite(np.asarray(g)).all()
