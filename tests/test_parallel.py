@@ -206,3 +206,51 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 1000)
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe-style PP over a 4-stage mesh must equal the sequential forward
+    exactly (same math/order, placement only). 8 layers / 4 stages, 8 images
+    in 4 microbatches."""
+    from dinov2_tpu.parallel.pipeline import pipeline_forward, place_pipeline_params
+
+    cfg = DinoConfig(
+        hidden_size=64, num_hidden_layers=8, num_attention_heads=2,
+        num_classes=8, patch_size=14, img_size=70,
+    )
+    params = init_params(cfg, seed=0, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((8, 70, 70, 3)), jnp.float32
+    )
+    want = forward(params, x, cfg, OPTS, classify=True)
+
+    mesh = make_mesh({"stage": 4}, devices=jax.devices()[:4])
+    placed = place_pipeline_params(params, mesh)
+    got = pipeline_forward(
+        placed, x, cfg, OPTS, mesh, num_microbatches=4, classify=True
+    )
+    for key in ("cls_token", "patch_tokens", "probs"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_pipeline_parallel_validations():
+    from dinov2_tpu.parallel.pipeline import pipeline_forward
+
+    cfg = DinoConfig(
+        hidden_size=64, num_hidden_layers=6, num_attention_heads=2,
+        num_classes=8, patch_size=14, img_size=70,
+    )
+    params = init_params(cfg, seed=0, dtype=jnp.float32)
+    x = jnp.zeros((8, 70, 70, 3), jnp.float32)
+    mesh = make_mesh({"stage": 4}, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="do not split"):
+        pipeline_forward(params, x, cfg, OPTS, mesh)
+    cfg8 = DinoConfig(
+        hidden_size=64, num_hidden_layers=8, num_attention_heads=2,
+        num_classes=8, patch_size=14, img_size=70,
+    )
+    params8 = init_params(cfg8, seed=0, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="microbatches"):
+        pipeline_forward(params8, x, cfg8, OPTS, mesh, num_microbatches=3)
