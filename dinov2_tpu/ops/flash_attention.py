@@ -31,9 +31,12 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)  # avoids exp(-inf - -inf) Na
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _attn_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, t_actual, bk
-):
+def _attn_kernel(*refs, scale, t_actual, bk, with_lse=False):
+    if with_lse:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        lse_ref = None
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -76,6 +79,13 @@ def _attn_kernel(
         l = jnp.max(l_scr[...], axis=-1, keepdims=True)
         inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # (b·h, 8, tp) sublane-broadcast storage: Mosaic requires block
+            # last-two dims divisible by (8, 128), so a plain (1, bq) row
+            # block is unmappable — replicate the row over 8 sublanes instead
+            m = jnp.max(m_scr[...], axis=-1)  # (bq,)
+            lse = m + jnp.log(jnp.maximum(jnp.max(l_scr[...], axis=-1), 1e-30))
+            lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -125,14 +135,15 @@ def flash_attention(
 ) -> jnp.ndarray:
     """(B, T, H, hd) q/k/v -> (B, T, H, hd), numerics-matched to vanilla MHSA.
 
-    Differentiable: the custom VJP runs the fused Pallas kernel forward and a
-    recompute-based backward through the reference softmax-attention math (the
-    flash forward saves only q/k/v — the same memory profile as full remat; at
-    ViT sequence lengths the (T, T) backward intermediates are cheap)."""
+    Differentiable with dedicated Pallas backward kernels (FlashAttention-2
+    structure): the forward saves q/k/v, O, and the per-row logsumexp; the
+    backward streams dQ / dK / dV in KV- and Q-blocked kernels without ever
+    materializing the (T, T) score matrix in HBM — long-sequence training
+    (10k+ tokens) has the same memory profile as the forward."""
     return _flash_forward(q, k, v, scale, block_q, interpret)
 
 
-def _flash_forward(q, k, v, scale, block_q=512, interpret=None):
+def _flash_forward(q, k, v, scale, block_q=512, interpret=None, with_lse=False):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -145,19 +156,30 @@ def _flash_forward(q, k, v, scale, block_q=512, interpret=None):
 
     qf, kf, vf = prep(q), prep(k), prep(v)
 
+    out_specs = pl.BlockSpec((1, bq, hd), lambda i, j, _: (i, j, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b * h, tp, hd), q.dtype)
+    if with_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (1, 8, bq), lambda i, j, _: (i, 0, j), memory_space=pltpu.VMEM
+            ),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, 8, tp), jnp.float32)]
+
     grid = (b * h, tp // bq, tp // bk)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, t_actual=t, bk=bk),
+    result = pl.pallas_call(
+        functools.partial(
+            _attn_kernel, scale=scale, t_actual=t, bk=bk, with_lse=with_lse
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, hd), lambda i, j, _: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, hd), lambda i, _, kv: (i, kv, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, hd), lambda i, _, kv: (i, kv, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bq, hd), lambda i, j, _: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, tp, hd), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, LANE), jnp.float32),  # running max m
             pltpu.VMEM((bq, LANE), jnp.float32),  # running normalizer l
@@ -174,20 +196,180 @@ def _flash_forward(q, k, v, scale, block_q=512, interpret=None):
         ),
     )(qf, kf, vf)
 
-    out = out[:, :t].reshape(b, h, t, hd).transpose(0, 2, 1, 3)
-    return out
+    if with_lse:
+        out, lse = result
+        return out[:, :t].reshape(b, h, t, hd).transpose(0, 2, 1, 3), lse
+    return result[:, :t].reshape(b, h, t, hd).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (FlashAttention-2 structure)
+# ---------------------------------------------------------------------------
+#
+# The forward saves q/k/v + per-row logsumexp; D = rowsum(dO ∘ O) is a cheap
+# XLA elementwise-reduce. Two kernels then stream over the (T, T) score space
+# without ever materializing it in HBM:
+#   dKV: grid (b·h, kv_blocks, q_blocks), q innermost — recompute p from
+#        (q, k, lse), accumulate dV += pᵀ·dO and dK += dSᵀ·q with
+#        dS = p ∘ (dO·vᵀ − D) · scale.
+#   dQ:  grid (b·h, q_blocks, kv_blocks), kv innermost — dQ += dS·k · scale.
+# For ViT-length sequences the recompute-based fallback (jax.vjp through the
+# vanilla math) is equally fast; these kernels matter for long-sequence
+# (10k+ token) training where the (T, T) intermediates cannot exist.
+
+
+def _bwd_p_ds(q, kk, vv, do, lse_tile, d_tile, *, scale, col0, t_actual):
+    """Shared recompute: returns (p, dS) for one (bq, bk) tile, masked.
+    lse_tile/d_tile arrive sublane-broadcast (8, bq); reduce to (bq, 1)."""
+    lse_row = jnp.max(lse_tile, axis=0)[:, None]  # (bq, 1)
+    d_row = jnp.max(d_tile, axis=0)[:, None]
+    s = jax.lax.dot_general(
+        q, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
+    s = jnp.where(col < t_actual, s, NEG_INF)
+    p = jnp.exp(s - lse_row)  # (bq, bk); 0 at masked cols
+    dp = jax.lax.dot_general(
+        do, vv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - d_row) * scale
+    return p, ds
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr, *, scale, t_actual, bk,
+):
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    p, ds = _bwd_p_ds(
+        q, k_ref[0], v_ref[0], do_ref[0], lse_ref[0], d_ref[0],
+        scale=scale, col0=pl.program_id(1) * bk, t_actual=t_actual,
+    )
+    dv_scr[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # pᵀ · dO -> (bk, hd)
+    dk_scr[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # dSᵀ · q -> (bk, hd)
+
+    @pl.when(q_idx == pl.num_programs(2) - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref, dq_scr,
+    *, scale, t_actual, bk,
+):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    _, ds = _bwd_p_ds(
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0], lse_ref[0], d_ref[0],
+        scale=scale, col0=kv_idx * bk, t_actual=t_actual,
+    )
+    dq_scr[...] += jax.lax.dot_general(
+        ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # dS · k -> (bq, hd)
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, g, scale, block_q=512, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, h, hd = q.shape
+    bq, bk, tp = _pick_blocks(t, hd, block_q)
+
+    def prep(x):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, t, hd)
+        return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+
+    qf, kf, vf, of, gf = prep(q), prep(k), prep(v), prep(o), prep(g)
+    # lse arrives (b·h, 8, tp) sublane-broadcast from the forward
+    lse_f = lse
+    # D = rowsum(dO ∘ O) — O(T·hd), plain XLA; same broadcast storage
+    d_rows = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+    d_rows = jnp.broadcast_to(d_rows[:, None, :], (b * h, 8, tp))
+
+    qkv_spec_q = pl.BlockSpec((1, bq, hd), lambda i, j, r: (i, r, 0), memory_space=pltpu.VMEM)
+    qkv_spec_kv = pl.BlockSpec((1, bk, hd), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM)
+    row_spec_q = pl.BlockSpec((1, 8, bq), lambda i, j, r: (i, 0, r), memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, t_actual=t, bk=bk),
+        grid=(b * h, tp // bk, tp // bq),
+        in_specs=[qkv_spec_q, qkv_spec_kv, qkv_spec_kv, qkv_spec_q, row_spec_q, row_spec_q],
+        out_specs=[
+            pl.BlockSpec((1, bk, hd), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tp, hd), k.dtype),
+            jax.ShapeDtypeStruct((b * h, tp, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, hd), jnp.float32),
+            pltpu.VMEM((bk, hd), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qf, kf, vf, gf, lse_f, d_rows)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, t_actual=t, bk=bk),
+        grid=(b * h, tp // bq, tp // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), lambda i, j, r: (i, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, hd), lambda i, j, r: (i, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hd), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, bq), lambda i, j, r: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, bq), lambda i, j, r: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, hd), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, tp, hd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, hd), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qf, kf, vf, gf, lse_f, d_rows)
+
+    def unprep(x):
+        return x[:, :t].reshape(b, h, t, hd).transpose(0, 2, 1, 3)
+
+    return unprep(dq), unprep(dk), unprep(dv)
 
 
 def _flash_fwd(q, k, v, scale, block_q, interpret):
-    return _flash_forward(q, k, v, scale, block_q, interpret), (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale, block_q, interpret, with_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, block_q, interpret, residuals, g):
-    from dinov2_tpu.ops.attention import vanilla_attention
-
-    q, k, v = residuals
-    _, vjp = jax.vjp(lambda q, k, v: vanilla_attention(q, k, v, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = residuals
+    return _flash_backward(q, k, v, o, lse, g, scale, block_q, interpret)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -251,3 +251,24 @@ def test_slab_block_matches_unfused(rng):
     gx, gq, gw = jax.grad(loss, argnums=(0, 1, 2))(x, qkv, w)
     for g in (gx, gq, gw):
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_flash_backward_kernels_match_autodiff(rng):
+    """Dedicated dQ/dKV flash backward kernels (FlashAttention-2 structure)
+    must match jax.vjp through the vanilla math; T=157 exercises pad masking."""
+    import jax
+    from dinov2_tpu.ops.attention import vanilla_attention
+    from dinov2_tpu.ops.flash_attention import _flash_backward, _flash_forward
+
+    b, t, h, hd = 2, 157, 3, 64
+    q, k, v, g = (
+        jnp.asarray(rng.standard_normal((b, t, h, hd)), jnp.float32)
+        for _ in range(4)
+    )
+    scale = 1.0 / hd**0.5
+    _, vjp = jax.vjp(lambda q, k, v: vanilla_attention(q, k, v, scale), q, k, v)
+    want = vjp(g)
+    out, lse = _flash_forward(q, k, v, scale, interpret=True, with_lse=True)
+    got = _flash_backward(q, k, v, out, lse, g, scale, interpret=True)
+    for a, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w), atol=2e-6)
