@@ -63,7 +63,11 @@ def bench_forward():
         cfg0 = PRESETS[preset]
         cfg = DinoConfig(**{**cfg0.__dict__, "num_classes": 1000 if classify else 0})
         params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
-        for flash in [True, False]:
+        # "auto" resolves to the fused slab kernel at these shapes when it
+        # fits VMEM (ops/attention.py::resolve_attention_path) — the
+        # production default; flash/vanilla rows are the explicit overrides
+        for flash in ["auto", True, False]:
+            name = {True: "flash", False: "vanilla", "auto": "slab"}[flash]
             opts = ModelOptions(
                 parity="reference", compute_dtype=jnp.bfloat16, flash_attention=flash
             )
@@ -79,14 +83,14 @@ def bench_forward():
 
                 try:
                     dt = scan_timed(body, x, iters=10, params=params)
-                    key = f"{preset}-{px}px-b{b}-{'flash' if flash else 'vanilla'}"
+                    key = f"{preset}-{px}px-b{b}-{name}"
                     out[key] = {
                         "ms_per_batch": round(dt * 1e3, 3),
                         "img_per_s": round(b / dt, 1),
                     }
                     print(key, out[key], flush=True)
                 except Exception as e:  # noqa: BLE001
-                    out[f"{preset}-{px}px-b{b}-{flash}"] = f"FAILED {str(e)[:120]}"
+                    out[f"{preset}-{px}px-b{b}-{name}"] = f"FAILED {str(e)[:120]}"
     RESULTS["forward"] = out
 
 
