@@ -52,10 +52,11 @@ class QuantLinear:
       activation's K axis UNTOUCHED (round 1 permuted the activation with a
       jnp.take per matmul — an HBM gather that cost ~1.3 ms/layer at the ViT-B
       b64 shape). For the q5 formats the per-element 5th bits travel as two
-      uint16 planes qh_lo/qh_hi (out, in//32), one word per 16 consecutive
-      lanes of each plane — values ≤ 65535 broadcast EXACTLY through an f32
-      indicator matmul in-kernel, then a variable vector shift extracts each
-      lane's bit. HBM cost: 0.56-0.69 B/weight, same as the ggml blocks.
+      uint8 planes qh_lo/qh_hi (out, in//16), one byte per 8 consecutive
+      lanes of each plane — values ≤ 255 broadcast EXACTLY through a
+      default-precision bf16 indicator matmul in-kernel (u16 words would need
+      precision=HIGHEST, 6x the MXU passes), then a vector shift extracts
+      each lane's bit. HBM cost: 0.56-0.75 B/weight, ~the ggml blocks.
 
     d: (out, in//32) float32 per-block scales
     m: (out, in//32) float32 per-block mins or None
@@ -67,7 +68,7 @@ class QuantLinear:
     ggml_type: int  # static
     shape: tuple[int, int]  # static (out, in)
     packed: bool = False  # static
-    qh_lo: jnp.ndarray | None = None  # (out, in//32) uint16, q5 packed only
+    qh_lo: jnp.ndarray | None = None  # (out, in//16) uint8, q5 packed only
     qh_hi: jnp.ndarray | None = None
 
     def tree_flatten(self):
@@ -93,19 +94,33 @@ _PACKED_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1)
 
 
 def _natural_plane_words(bits: np.ndarray) -> np.ndarray:
-    """(out, half_k) 0/1 bits -> (out, half_k//16) uint16, one word per 16
-    consecutive lanes, bit i of word g = bits[:, 16g+i]."""
+    """(out, half_k) 0/1 bits -> (out, half_k//8) uint8, one byte per 8
+    consecutive lanes, bit i of word g = bits[:, 8g+i].
+
+    u8 (not u16) on purpose: values <= 255 are EXACT in bfloat16, so the
+    in-kernel indicator-matmul broadcast runs at default MXU precision —
+    u16 words needed precision=HIGHEST (6-pass f32 emulation), the dominant
+    cost of the q5 fused path (docs/TPU_NOTES.md round-2 q5 numbers)."""
     o, hk = bits.shape
-    w = bits.astype(np.uint32).reshape(o, hk // 16, 16)
-    return (w << np.arange(16, dtype=np.uint32)).sum(axis=2).astype(np.uint16)
+    w = bits.astype(np.uint32).reshape(o, hk // 8, 8)
+    return (w << np.arange(8, dtype=np.uint32)).sum(axis=2).astype(np.uint8)
 
 
 def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
     from dinov2_tpu.quant.blocks import block_dtype, unpack_codes
 
+    import os
+
     out_dim, in_dim = t.shape
     gt = GGMLType(t.ggml_type)
-    if gt in _PACKED_TYPES:
+    packed_types = _PACKED_TYPES
+    if os.environ.get("DINOV2_TPU_Q5_LAYOUT", "packed") == "soa":
+        # speed-vs-footprint knob: the q5 packed kernels pay ~15-20% extra
+        # for the in-kernel 5th-bit expansion and the Mosaic block caps
+        # (ops/pallas_qmatmul.py); int8-SoA q5 runs at q8_0 speed at
+        # ~1.06 B/weight instead of 0.69-0.75
+        packed_types = (GGMLType.Q4_0, GGMLType.Q4_1)
+    if gt in packed_types:
         # repack ggml's block-local nibbles (byte j of block b = elements
         # 32b+j lo / 32b+16+j hi) into natural-order planes (byte j = elements
         # j lo / j+in/2 hi): the matmul kernel then needs NO activation

@@ -164,32 +164,33 @@ def _expand_scales_plane(d: jnp.ndarray, k2: int, offset: int) -> jnp.ndarray:
     return out.astype(jnp.bfloat16)
 
 
-def _fifth_bits(qh_ref, k2: int) -> jnp.ndarray:
-    """(bn, K/32) uint16 5th-bit words -> (bn, K/2) f32 0/1 bit per lane.
+_QH_LANES = 8  # lanes per 5th-bit word (u8 — exact in bf16, see params.py)
 
-    Words are per-plane natural order (one u16 per 16 consecutive lanes,
-    models/params.py::_natural_plane_words). The u16 word broadcasts EXACTLY
-    through an f32 indicator matmul (values ≤ 65535 < 2^24); the per-lane bit
-    is then floor(word * 2^-lane%16) mod 2 — pure f32 VPU ops, no variable
-    integer shifts for Mosaic to choke on."""
-    bn, nb = qh_ref.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, k2), 1)
-    e = (cols // (QK // 2) == rows).astype(jnp.float32)
-    # Mosaic has no u16->f32 cast; hop through int32 (values <= 65535, exact).
-    # precision=HIGHEST is REQUIRED: the v5e MXU is bf16-native and the default
-    # precision truncates f32 operands to bf16 (8 mantissa bits), silently
-    # corrupting the low bits of any word > 255 — 28% of expanded bits came out
-    # wrong on-chip while interpret mode (exact f32) passed.
+
+def _fifth_bits(qh_ref, k2: int) -> jnp.ndarray:
+    """(bn, K/16) uint8 5th-bit words -> (bn, K/2) f32 0/1 bit per lane.
+
+    Words are per-plane natural order (one u8 per 8 consecutive lanes,
+    models/params.py::_natural_plane_words). A u8 word (≤ 255) is EXACT in
+    bfloat16, so the indicator-matmul broadcast runs at DEFAULT MXU precision
+    — the previous u16 layout needed precision=HIGHEST (6-pass f32 emulation
+    on the bf16-native MXU), which dominated the q5 fused-path cost. The
+    per-lane bit is then floor(word * 2^-(lane%8)) mod 2 — pure f32 VPU ops,
+    no variable integer shifts for Mosaic to choke on."""
+    bn, nw = qh_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nw, k2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nw, k2), 1)
+    e = (cols // _QH_LANES == rows).astype(jnp.float32)
+    # Mosaic has no u8->f32 cast; hop through int32 (values <= 255, exact)
     words = jax.lax.dot_general(
         qh_ref[:].astype(jnp.int32).astype(jnp.float32), e, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )  # (bn, k2)
-    shift = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1) % (QK // 2)
-    # exact 2^-shift via a 16-way select: jnp.exp2 on arrays lowers through
-    # exp(x*ln2) and is NOT exact (8192 * fl(2^-13) floors to 0, dropping bits)
+    shift = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1) % _QH_LANES
+    # exact 2^-shift via an 8-way select: jnp.exp2 on arrays lowers through
+    # exp(x*ln2) and is NOT exact (drops bits at large exponents)
     scale = jnp.zeros_like(words)
-    for i in range(QK // 2):
+    for i in range(_QH_LANES):
         scale = scale + jnp.where(shift == i, jnp.float32(2.0**-i), 0.0)
     return jnp.mod(jnp.floor(words * scale), 2.0)
 
@@ -306,22 +307,26 @@ def quant_matmul_pallas(
     # b64 shape (M=16448 % 1024 != 0).
     bm = max(8, min(block_m, _round_up(m, 8)))
     bn = max(128, min(block_n, _round_up(n, 128)))
-    # The q5 5th-bit expansion (exact-precision indicator matmuls) makes the
-    # heaviest kernel bodies, and large tiles crash the v5e Mosaic compiler
-    # (the round-1 "k2=1536" bug family). Bisected safe caps:
-    #   q5_1 (qh + affine): (1024, 768) crashes at ANY m -> cap area to 512x768;
-    #                       k >= 3072 crashes for bn > 128 -> bn = 128.
-    #   q5_0 (qh only):     k >= 3072 crashes for bn > 256 -> bn = 256.
+    # The q5 5th-bit expansion crashes the v5e Mosaic remote compiler at
+    # large tiles (the "k2=1536 bug family"); re-bisected for the u8-word
+    # kernel and the fastest SURVIVING block shapes measured in the full
+    # scanned model:
+    #   k >= 3072 (k2 >= 1536): bn > 128 crashes for BOTH q5 formats -> 128.
+    #   q5_1 otherwise: (bm=1024, bn=768) crashes; (512, 768) compiles and
+    #     beats (1024, 384) by ~6% at the ViT-B b64 shape -> shrink bm.
+    #   q5_0 at k < 3072: full (1024, 768) blocks are stable.
+    # DINOV2_TPU_Q5_BN_CAP overrides bn (escape hatch for Mosaic regressions).
     if getattr(ql, "packed", False) and ql.qh_lo is not None:
-        if ql.m is not None:
+        import os
+
+        cap = int(os.environ.get("DINOV2_TPU_Q5_BN_CAP", "0"))
+        if cap:
+            bn = min(bn, cap)
+        if k >= 3072:
+            bn = min(bn, 128)
+        elif ql.m is not None:
             while bm * bn > 512 * 768 and bm > 8:
                 bm //= 2
-            if k >= 3072:
-                bn = 128
-        elif k >= 3072:
-            # 256 survives in isolation but crashes inside the scanned model
-            # context; 128 is stable in both
-            bn = min(bn, 128)
     # shrink to the VMEM budget (alternate halving the larger block)
     while (
         _vmem_bytes(bm, bn, k, x2.dtype.itemsize, ql.m is not None) > _VMEM_BUDGET
@@ -371,7 +376,8 @@ def quant_matmul_pallas(
             for qh in (ql.qh_lo, ql.qh_hi):
                 in_specs.append(
                     pl.BlockSpec(
-                        (bn, nb), lambda n, m: (n, 0), memory_space=pltpu.VMEM
+                        (bn, qh.shape[1]), lambda n, m: (n, 0),
+                        memory_space=pltpu.VMEM,
                     )
                 )
                 operands.append(qh)

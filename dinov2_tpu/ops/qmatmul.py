@@ -48,7 +48,7 @@ def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
         lo = (qs & 0xF).astype(jnp.int32)  # (out, in/2) = elements [0, in/2)
         hi = (qs >> 4).astype(jnp.int32)  # elements [in/2, in)
         if ql.qh_lo is not None:
-            shifts = jnp.arange(16, dtype=jnp.uint32)
+            shifts = jnp.arange(8, dtype=jnp.uint32)  # u8 words, 8 lanes each
 
             def bits(words):
                 b = (words.astype(jnp.uint32)[..., None] >> shifts) & 1
