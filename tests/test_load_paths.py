@@ -80,3 +80,39 @@ def test_init_params_matches_load_params_schema(tmp_path):
             jax.tree_util.tree_leaves_with_path(inited),
         ):
             assert a.shape == b.shape and a.dtype == b.dtype, (ka, a.shape, b.shape)
+
+
+def test_q5_layout_knob(tmp_path, monkeypatch):
+    """DINOV2_TPU_Q5_LAYOUT=soa opts q5 formats out of nibble packing
+    (speed-vs-footprint knob) without changing results."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.config import DinoConfig
+    from dinov2_tpu.models.params import load_params
+    from dinov2_tpu.models.vit import ModelOptions, forward
+    from dinov2_tpu.quant.quantize import quantize_gguf
+
+    cfg = DinoConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        num_classes=4, patch_size=14, img_size=70,
+    )
+    fp = write_synthetic_gguf(tmp_path / "k.gguf", cfg, seed=13)
+    qp = tmp_path / "k.q5_1.gguf"
+    quantize_gguf(fp, qp, "q5_1")
+    opts = ModelOptions(parity="hf", compute_dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 70, 70, 3)), jnp.float32
+    )
+
+    packed = load_params(qp, dtype=jnp.float32, quant_mode="fused")
+    assert packed.params["layers"]["qkv"]["kernel"].packed
+    monkeypatch.setenv("DINOV2_TPU_Q5_LAYOUT", "soa")
+    soa = load_params(qp, dtype=jnp.float32, quant_mode="fused")
+    ql = soa.params["layers"]["qkv"]["kernel"]
+    assert not ql.packed and ql.codes.dtype == jnp.int8
+
+    a = forward(packed.params, x, cfg, opts, classify=True)["probs"]
+    b = forward(soa.params, x, cfg, opts, classify=True)["probs"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
