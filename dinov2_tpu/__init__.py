@@ -25,6 +25,11 @@ _LAZY = {
     "convert_hf_model": "dinov2_tpu.io.convert",
     "make_trainer": "dinov2_tpu.parallel.train",
     "make_mesh": "dinov2_tpu.parallel.mesh",
+    "pipeline_forward": "dinov2_tpu.parallel.pipeline",
+    "place_pipeline_params": "dinov2_tpu.parallel.pipeline",
+    "flash_attention": "dinov2_tpu.ops.flash_attention",
+    "slab_attention": "dinov2_tpu.ops.fused_attention",
+    "quant_matmul_pallas": "dinov2_tpu.ops.pallas_qmatmul",
 }
 
 
