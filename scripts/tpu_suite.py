@@ -48,15 +48,15 @@ def scan_timed(body, x, iters=20, repeats=2, params=None):
     return best / iters
 
 
-def bench_forward():
+def bench_forward(modes=("auto", True, False), batches_override=None):
     from dinov2_tpu.models.config import PRESETS, DinoConfig
     from dinov2_tpu.models.params import init_params
     from dinov2_tpu.models.vit import ModelOptions, forward
 
     rng = np.random.default_rng(0)
-    out = {}
+    out = RESULTS.setdefault("forward", {})
     for preset, px, batches, classify in [
-        ("base", 224, [1, 8, 32, 64, 128], True),
+        ("base", 224, batches_override or [1, 8, 32, 64, 128], True),
         ("small", 224, [64], True),
         ("large", 518, [8], False),
     ]:
@@ -66,7 +66,7 @@ def bench_forward():
         # "auto" resolves to the fused slab kernel at these shapes when it
         # fits VMEM (ops/attention.py::resolve_attention_path) — the
         # production default; flash/vanilla rows are the explicit overrides
-        for flash in ["auto", True, False]:
+        for flash in modes:
             name = {True: "flash", False: "vanilla", "auto": "slab"}[flash]
             opts = ModelOptions(
                 parity="reference", compute_dtype=jnp.bfloat16, flash_attention=flash
@@ -91,7 +91,6 @@ def bench_forward():
                     print(key, out[key], flush=True)
                 except Exception as e:  # noqa: BLE001
                     out[f"{preset}-{px}px-b{b}-{name}"] = f"FAILED {str(e)[:120]}"
-    RESULTS["forward"] = out
 
 
 def bench_qmatmul():
@@ -186,8 +185,30 @@ def bench_attention():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--sections", default="forward,attention,qmatmul",
+        help="comma list of forward,attention,qmatmul",
+    )
+    ap.add_argument(
+        "--modes", default="slab,flash,vanilla",
+        help="forward attention modes to sweep (slab=auto policy)",
+    )
+    ap.add_argument("--batches", default=None,
+                    help="override the base-model batch sweep, e.g. 8,64")
+    args = ap.parse_args()
+    mode_map = {"slab": "auto", "auto": "auto", "flash": True, "vanilla": False}
+    modes = tuple(mode_map[m.strip()] for m in args.modes.split(","))
+    batches = [int(b) for b in args.batches.split(",")] if args.batches else None
+
     print("backend:", jax.default_backend(), flush=True)
-    bench_forward()
-    bench_attention()
-    bench_qmatmul()
+    sections = {s.strip() for s in args.sections.split(",")}
+    if "forward" in sections:
+        bench_forward(modes=modes, batches_override=batches)
+    if "attention" in sections:
+        bench_attention()
+    if "qmatmul" in sections:
+        bench_qmatmul()
     print("\nRESULTS_JSON " + json.dumps(RESULTS), flush=True)
