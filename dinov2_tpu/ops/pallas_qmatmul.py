@@ -292,7 +292,10 @@ def quant_matmul_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    n, k = ql.shape
+    # dims from the ARRAYS, not the static ql.shape aux: under shard_map the
+    # leaves are per-device shards while the aux still carries the global shape
+    n = ql.codes.shape[0]
+    k = ql.codes.shape[1] * (2 if getattr(ql, "packed", False) else 1)
     lead = x.shape[:-1]
     m = 1
     for s in lead:

@@ -37,8 +37,11 @@ def _resolve_backend(backend: str) -> str:
 def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Decode a QuantLinear to a dense (out, in) weight on device:
     w = codes*d (+ m for the min/offset formats). Handles both the int8-SoA
-    layout and the packed-nibble layout (models/params.py::QuantLinear)."""
-    out_dim, in_dim = ql.shape
+    layout and the packed-nibble layout (models/params.py::QuantLinear).
+    Dims come from the arrays (shard_map passes per-device shards whose
+    static ql.shape aux still holds the global shape)."""
+    out_dim = ql.codes.shape[0]
+    in_dim = ql.codes.shape[1] * (2 if getattr(ql, "packed", False) else 1)
     nb = in_dim // 32
     if getattr(ql, "packed", False):
         # natural-order planes (models/params.py): byte j = element j (lo

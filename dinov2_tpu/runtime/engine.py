@@ -59,14 +59,23 @@ class DinoEngine:
 
         enable_compilation_cache()
         if quant_mode == "fused" and mesh_axes and "model" in mesh_axes:
-            from dinov2_tpu.utils.logging import get_logger
+            # Megatron TP x fused-quant runs via parallel/tp_fused.py when the
+            # head count splits over the 'model' axis; otherwise dequant.
+            from dinov2_tpu.io.gguf import GGUFReader
+            from dinov2_tpu.models.config import DinoConfig
 
-            get_logger().warning(
-                "fused quantized matmul does not compose with tensor-parallel "
-                "weight sharding (packed codes can't be row-split); falling "
-                "back to quant_mode='dequant' for the 'model' mesh"
-            )
-            quant_mode = "dequant"
+            r = GGUFReader(model_path)
+            peek = DinoConfig.from_gguf_kv(r.kv)
+            r.close()
+            if peek.num_attention_heads % mesh_axes["model"]:
+                from dinov2_tpu.utils.logging import get_logger
+
+                get_logger().warning(
+                    "%d heads do not split over tp=%d; falling back to "
+                    "quant_mode='dequant'",
+                    peek.num_attention_heads, mesh_axes["model"],
+                )
+                quant_mode = "dequant"
         self.loaded = load_params(model_path, dtype=dtype, quant_mode=quant_mode)
         self.config = self.loaded.config
         self.id2label = self.loaded.id2label
@@ -75,22 +84,51 @@ class DinoEngine:
         )
         self.mesh = None
         self.params = self.loaded.params
+        self._sm_forward = None
+        tp_fused = (
+            quant_mode == "fused"
+            and self.loaded.quantized
+            and mesh_axes is not None
+            and "model" in mesh_axes
+        )
         if mesh_axes is not None:
-            from dinov2_tpu.parallel.mesh import shard_params
-
             self.mesh = make_mesh(mesh_axes)
-            self.params = shard_params(
-                self.params, self.mesh, tensor_parallel="model" in mesh_axes
-            )
+            if tp_fused:
+                # Megatron TP with packed weights: explicit shard_map
+                # collectives (pallas_call has no GSPMD partitioning rule)
+                from dinov2_tpu.parallel.tp_fused import (
+                    make_tp_forward,
+                    tp_place_params,
+                    tp_prepare_params,
+                )
+
+                ptp, specs = tp_prepare_params(
+                    self.loaded.params, self.config, tp=mesh_axes["model"]
+                )
+                self.params = tp_place_params(ptp, specs, self.mesh)
+                self._jit_sm_forward = make_tp_forward(
+                    specs, self.config, self.opts, self.mesh
+                )
+                self._sm_forward = self._jit_sm_forward
+            else:
+                from dinov2_tpu.parallel.mesh import shard_params
+
+                self.params = shard_params(
+                    self.params, self.mesh, tensor_parallel="model" in mesh_axes
+                )
         elif data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
             self.params = replicate(self.params, self.mesh)
-        # Fused quantized matmul under a data mesh: pallas_call has no GSPMD
-        # partitioning rule, so the whole forward runs per-device on its local
-        # batch shard via shard_map (pure DP, no collectives inside). The
-        # non-fused paths keep the sharding-annotation route (XLA propagates).
-        self._sm_forward = None
-        if quant_mode == "fused" and self.mesh is not None and self.loaded.quantized:
+        # Fused quantized matmul under a pure-data mesh: the whole forward
+        # runs per-device on its local batch shard via shard_map (pure DP, no
+        # collectives inside). The non-fused paths keep the sharding-
+        # annotation route (XLA propagates).
+        if (
+            self._sm_forward is None
+            and quant_mode == "fused"
+            and self.mesh is not None
+            and self.loaded.quantized
+        ):
             from functools import partial
 
             from dinov2_tpu.parallel.mesh import shard_map_data_parallel

@@ -171,18 +171,52 @@ def test_engine_fused_quant_data_parallel_matches_single(
     assert vis.shape == (6 * 14, 6 * 14, 3) and vis.dtype == np.uint8  # Q4 grid
 
 
-def test_fused_quant_tensor_parallel_falls_back(tmp_path, rng):
-    """'model'-axis meshes still downgrade to dequant (documented, warned)."""
+@pytest.mark.parametrize("qtype", ["q4_0", "q5_1"])
+def test_engine_fused_quant_tensor_parallel_matches_single(
+    tmp_path, rng, monkeypatch, qtype
+):
+    """Megatron TP x fused-quant (parallel/tp_fused.py): packed col-split,
+    int8-SoA row-split, explicit psums — must match single-device fused."""
     from dinov2_tpu.io.synthetic import write_synthetic_gguf
     from dinov2_tpu.quant.quantize import quantize_gguf
     from dinov2_tpu.runtime.engine import DinoEngine
 
+    monkeypatch.setenv("DINOV2_TPU_QUANT_BACKEND", "pallas")
     cfg = DinoConfig(
         hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
         num_classes=4, patch_size=14, img_size=70,
     )
     fp = write_synthetic_gguf(tmp_path / "tpq.gguf", cfg, seed=11)
-    qp = tmp_path / "tpq.q4_0.gguf"
+    qp = tmp_path / f"tpq.{qtype}.gguf"
+    quantize_gguf(fp, qp, qtype)
+
+    imgs = rng.integers(0, 256, (8, 70, 70, 3), dtype=np.uint8)
+    single = DinoEngine(qp, dtype=jnp.float32, quant_mode="fused")
+    eng = DinoEngine(
+        qp, dtype=jnp.float32, quant_mode="fused",
+        mesh_axes={"data": 4, "model": 2},
+    )
+    assert eng._sm_forward is not None and eng.loaded.quantized
+    np.testing.assert_allclose(
+        eng.classify_probs(imgs), single.classify_probs(imgs),
+        rtol=2e-5, atol=2e-6,
+    )
+    vis = eng.pca_visualization(imgs[0])
+    assert vis.shape == (6 * 14, 6 * 14, 3)
+
+
+def test_fused_quant_tp_falls_back_on_indivisible_heads(tmp_path, rng):
+    """heads % tp != 0 downgrades to dequant with a warning (no crash)."""
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.quant.quantize import quantize_gguf
+    from dinov2_tpu.runtime.engine import DinoEngine
+
+    cfg = DinoConfig(
+        hidden_size=96, num_hidden_layers=2, num_attention_heads=3,
+        num_classes=4, patch_size=14, img_size=70,
+    )
+    fp = write_synthetic_gguf(tmp_path / "odd.gguf", cfg, seed=11)
+    qp = tmp_path / "odd.q4_0.gguf"
     quantize_gguf(fp, qp, "q4_0")
     eng = DinoEngine(
         qp, dtype=jnp.float32, quant_mode="fused",
