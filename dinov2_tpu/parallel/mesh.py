@@ -44,9 +44,10 @@ def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
         axes = {"data": len(devices)}
     names = tuple(axes.keys())
     shape = tuple(axes.values())
-    if int(np.prod(shape)) != len(devices):
-        raise ValueError(f"mesh {axes} does not match {len(devices)} devices")
-    dev_array = np.array(devices).reshape(shape)
+    need = int(np.prod(shape))
+    if need > len(devices):
+        raise ValueError(f"mesh {axes} needs {need} devices, have {len(devices)}")
+    dev_array = np.array(devices[:need]).reshape(shape)
     return Mesh(dev_array, names)
 
 
@@ -57,7 +58,10 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(x: jnp.ndarray, mesh: Mesh, axis: str = "data") -> jnp.ndarray:
-    """Shard the leading (batch) axis across the mesh."""
+    """Shard the leading (batch) axis across the mesh; on a mesh without the
+    batch axis (e.g. a pure 'model' TP mesh) the batch is replicated."""
+    if axis not in mesh.axis_names:
+        return jax.device_put(x, NamedSharding(mesh, P()))
     spec = P(axis, *([None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
 

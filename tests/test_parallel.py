@@ -288,3 +288,29 @@ def test_pipeline_parallel_validations():
     params8 = init_params(cfg8, seed=0, dtype=jnp.float32)
     with pytest.raises(ValueError, match="microbatches"):
         pipeline_forward(params8, x, cfg8, OPTS, mesh, num_microbatches=3)
+
+
+def test_engine_fused_quant_model_only_mesh(tmp_path, rng, monkeypatch):
+    """A pure 'model' TP mesh (no 'data' axis) must work: batch replicated,
+    weights Megatron-split (regression: shard_batch assumed a 'data' axis)."""
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.quant.quantize import quantize_gguf
+    from dinov2_tpu.runtime.engine import DinoEngine
+
+    monkeypatch.setenv("DINOV2_TPU_QUANT_BACKEND", "pallas")
+    cfg = DinoConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        num_classes=4, patch_size=14, img_size=70,
+    )
+    fp = write_synthetic_gguf(tmp_path / "m.gguf", cfg, seed=3)
+    qp = tmp_path / "m.q4_0.gguf"
+    quantize_gguf(fp, qp, "q4_0")
+    imgs = rng.integers(0, 256, (3, 70, 70, 3), dtype=np.uint8)
+    single = DinoEngine(qp, dtype=jnp.float32, quant_mode="fused")
+    eng = DinoEngine(
+        qp, dtype=jnp.float32, quant_mode="fused", mesh_axes={"model": 2},
+    )
+    np.testing.assert_allclose(
+        eng.classify_probs(imgs), single.classify_probs(imgs),
+        rtol=2e-5, atol=2e-6,
+    )
