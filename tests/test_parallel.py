@@ -314,3 +314,30 @@ def test_engine_fused_quant_model_only_mesh(tmp_path, rng, monkeypatch):
         eng.classify_probs(imgs), single.classify_probs(imgs),
         rtol=2e-5, atol=2e-6,
     )
+
+
+def test_engine_fused_quant_tp_swiglu(tmp_path, rng, monkeypatch):
+    """TP-fused SwiGLU path (fused weights_in halves permuted per shard)."""
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.quant.quantize import quantize_gguf
+    from dinov2_tpu.runtime.engine import DinoEngine
+
+    monkeypatch.setenv("DINOV2_TPU_QUANT_BACKEND", "pallas")
+    cfg = DinoConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        num_classes=4, patch_size=14, img_size=70, use_swiglu_ffn=True,
+        swiglu_hidden=128,  # 32-aligned so weights_out quantizes/row-splits
+    )
+    fp = write_synthetic_gguf(tmp_path / "sg.gguf", cfg, seed=17)
+    qp = tmp_path / "sg.q4_0.gguf"
+    quantize_gguf(fp, qp, "q4_0")
+    imgs = rng.integers(0, 256, (4, 70, 70, 3), dtype=np.uint8)
+    single = DinoEngine(qp, dtype=jnp.float32, quant_mode="fused")
+    eng = DinoEngine(
+        qp, dtype=jnp.float32, quant_mode="fused",
+        mesh_axes={"data": 2, "model": 2},
+    )
+    np.testing.assert_allclose(
+        eng.classify_probs(imgs), single.classify_probs(imgs),
+        rtol=2e-5, atol=2e-6,
+    )
