@@ -80,9 +80,12 @@ def _to_soa(ql: QuantLinear) -> QuantLinear:
     )
 
 
-def _section_perm(out_dim: int, sections: int, shards: int) -> np.ndarray:
+def _section_perm(out_dim: int, sections: int, shards: int) -> np.ndarray | None:
     """Row permutation so a contiguous `shards`-way split of the fused
-    [sec0; sec1; ...] out axis gives each shard its slice of EVERY section."""
+    [sec0; sec1; ...] out axis gives each shard its slice of EVERY section.
+    None when the permutation is the identity (single section)."""
+    if sections == 1:
+        return None
     sz = out_dim // sections
     per = sz // shards
     perm = [
@@ -98,9 +101,11 @@ def _permute_out(x, perm: np.ndarray, axis: int):
     return jnp.take(jnp.asarray(x), jnp.asarray(perm), axis=axis)
 
 
-def _permute_linear(layer: dict, perm: np.ndarray) -> dict:
+def _permute_linear(layer: dict, perm: np.ndarray | None) -> dict:
     """Apply an out-axis permutation to a (stacked) linear layer dict whose
     kernel is a QuantLinear with a leading L axis (out = axis 1)."""
+    if perm is None:  # identity (single-section layers like fc1)
+        return layer
     ql = layer["kernel"]
     out = dict(layer)
     out["kernel"] = QuantLinear(
@@ -240,7 +245,6 @@ def _attention_core(qkv: jnp.ndarray, local_heads: int, head_dim: int, opts) -> 
 
 
 def _tp_encoder_layer(x, layer, config, opts, axis):
-    local_heads = None  # derived from the local qkv width below
     head_dim = config.head_dim
     h = layer_norm(x, layer["norm1"], config.eps)
     qkv = apply_linear(h, layer["qkv"])  # (B, T, 3*D/S) local columns

@@ -341,3 +341,35 @@ def test_engine_fused_quant_tp_swiglu(tmp_path, rng, monkeypatch):
         eng.classify_probs(imgs), single.classify_probs(imgs),
         rtol=2e-5, atol=2e-6,
     )
+
+
+def test_pipeline_parallel_fused_quant(tmp_path, rng, monkeypatch):
+    """PP composes with fused-quant: stage-sharded QuantLinear layers run the
+    Pallas dequant-matmul per stage under shard_map."""
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.params import load_params
+    from dinov2_tpu.parallel.pipeline import pipeline_forward, place_pipeline_params
+    from dinov2_tpu.quant.quantize import quantize_gguf
+
+    monkeypatch.setenv("DINOV2_TPU_QUANT_BACKEND", "pallas")
+    cfg = DinoConfig(
+        hidden_size=64, num_hidden_layers=4, num_attention_heads=2,
+        num_classes=4, patch_size=14, img_size=70,
+    )
+    fp = write_synthetic_gguf(tmp_path / "pq.gguf", cfg, seed=19)
+    qp = tmp_path / "pq.q4_0.gguf"
+    quantize_gguf(fp, qp, "q4_0")
+    loaded = load_params(qp, dtype=jnp.float32, quant_mode="fused")
+    x = jnp.asarray(rng.standard_normal((4, 70, 70, 3)), jnp.float32)
+    opts = ModelOptions(parity="hf", compute_dtype=jnp.float32)
+    want = forward(loaded.params, x, cfg, opts, classify=True)
+
+    mesh = make_mesh({"stage": 2}, devices=jax.devices()[:2])
+    placed = place_pipeline_params(loaded.params, mesh)
+    got = pipeline_forward(
+        placed, x, cfg, opts, mesh, num_microbatches=2, classify=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["probs"]), np.asarray(want["probs"]),
+        rtol=2e-5, atol=2e-6,
+    )
