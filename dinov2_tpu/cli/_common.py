@@ -28,10 +28,25 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="quantized checkpoints: dequant at load, or fused Pallas dequant-matmul")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices (ICI mesh)")
+    p.add_argument("--mesh", default=None, metavar="DP[,TP]",
+                   help="explicit mesh: 'dp' or 'dp,tp' device counts "
+                   "(tensor-parallel weights on the tp axis; composes with "
+                   "--quant-mode fused via shard_map)")
 
 
 def dtype_of(args) -> object:
     return {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
+
+
+def mesh_axes_of(args) -> dict[str, int] | None:
+    """Parse --mesh 'dp[,tp]' into DinoEngine mesh_axes."""
+    if not getattr(args, "mesh", None):
+        return None
+    parts = [int(v) for v in args.mesh.split(",")]
+    axes = {"data": parts[0]}
+    if len(parts) > 1 and parts[1] > 1:
+        axes["model"] = parts[1]
+    return axes
 
 
 def load_image_rgb(path: str):

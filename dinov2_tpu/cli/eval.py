@@ -15,7 +15,7 @@ import sys
 import time
 from pathlib import Path
 
-from dinov2_tpu.cli._common import add_common_args, dtype_of
+from dinov2_tpu.cli._common import add_common_args, dtype_of, mesh_axes_of
 
 
 def main(argv=None) -> int:
@@ -38,6 +38,7 @@ def main(argv=None) -> int:
         parity=args.parity,
         flash_attention=True if args.flash_attn else "auto",
         data_parallel=args.data_parallel,
+        mesh_axes=mesh_axes_of(args),
     )
 
     paths = list_images(args.dir)

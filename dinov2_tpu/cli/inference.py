@@ -10,7 +10,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from dinov2_tpu.cli._common import add_common_args, dtype_of, load_image_rgb, save_image_rgb
+from dinov2_tpu.cli._common import add_common_args, dtype_of, load_image_rgb, mesh_axes_of, save_image_rgb
 
 
 def main(argv=None) -> int:
@@ -33,6 +33,7 @@ def main(argv=None) -> int:
         parity=args.parity,
         flash_attention=True if args.flash_attn else "auto",
         data_parallel=args.data_parallel,
+        mesh_axes=mesh_axes_of(args),
     )
 
     import numpy as np

@@ -8,7 +8,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from dinov2_tpu.cli._common import add_common_args, dtype_of
+from dinov2_tpu.cli._common import add_common_args, dtype_of, mesh_axes_of
 
 
 def main(argv=None) -> int:
@@ -30,6 +30,7 @@ def main(argv=None) -> int:
         parity=args.parity,
         flash_attention=True if args.flash_attn else "auto",
         data_parallel=args.data_parallel,
+        mesh_axes=mesh_axes_of(args),
     )
     if engine.loaded.has_classifier:
         engine.warmup((256, 256), batch=1, classify=True)

@@ -153,3 +153,16 @@ def test_benchmark_cli_memory_columns(ckpt):
         # XLA CPU reports buffer assignment too; peak covers weights + temps
         assert r["hbm_peak_mb"] is None or r["hbm_peak_mb"] >= r["hbm_weights_mb"]
         assert r["images_per_sec"] > 0
+
+
+@pytest.mark.skipif(not ASSETS.exists(), reason="reference assets not mounted")
+def test_inference_cli_mesh_flag(ckpt, tmp_path):
+    """--mesh dp,tp drives the engine's explicit mesh from the CLI."""
+    r = _run(
+        "import os; os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=4'; "
+        f"sys.exit(inference.main(['-m', {str(ckpt)!r}, '-i', "
+        f"{str(ASSETS / 'tench.jpg')!r}, '-c', '--dtype', 'f32', "
+        f"'--mesh', '2,2']))"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert " > class_" in r.stdout
