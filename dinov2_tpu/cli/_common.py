@@ -39,10 +39,17 @@ def dtype_of(args) -> object:
 
 
 def mesh_axes_of(args) -> dict[str, int] | None:
-    """Parse --mesh 'dp[,tp]' into DinoEngine mesh_axes."""
+    """Parse --mesh 'dp[,tp]' into DinoEngine mesh_axes (validated)."""
     if not getattr(args, "mesh", None):
         return None
-    parts = [int(v) for v in args.mesh.split(",")]
+    try:
+        parts = [int(v) for v in args.mesh.split(",")]
+    except ValueError:
+        raise SystemExit(f"--mesh {args.mesh!r}: expected 'dp' or 'dp,tp' integers")
+    if not 1 <= len(parts) <= 2 or any(v < 1 for v in parts):
+        raise SystemExit(
+            f"--mesh {args.mesh!r}: expected 1-2 positive values 'dp[,tp]'"
+        )
     axes = {"data": parts[0]}
     if len(parts) > 1 and parts[1] > 1:
         axes["model"] = parts[1]

@@ -93,6 +93,35 @@ class QuantLinear:
 _PACKED_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1)
 
 
+def decode_packed_planes(codes, qh_lo, qh_hi, zero: int, xp):
+    """Decode natural-order nibble planes (+ optional u8 5th-bit words) back to
+    integer codes: (..., out, k/2) uint8 -> (..., out, k) int32, zero-point
+    subtracted when `zero` != 0.
+
+    THE single source of truth for the packed layout (inverse of the packing
+    below): byte j = element j (lo nibble) | element j+k/2 (hi nibble); qh
+    word g covers plane lanes [8g, 8g+8). `xp` is numpy (host, e.g.
+    parallel/tp_fused.py row-split conversion) or jax.numpy (on-device,
+    ops/qmatmul.py::dequant_weight)."""
+    lo = (codes & 0xF).astype(xp.int32)
+    hi = (codes >> 4).astype(xp.int32)
+    if qh_lo is not None:
+        shifts = xp.arange(8, dtype=xp.uint32)
+
+        def bits(words):
+            b = (words.astype(xp.uint32)[..., None] >> shifts) & 1
+            return b.reshape(*words.shape[:-1], words.shape[-1] * 8).astype(
+                xp.int32
+            )
+
+        lo = lo | (bits(qh_lo) << 4)
+        hi = hi | (bits(qh_hi) << 4)
+    q = xp.concatenate([lo, hi], axis=-1)
+    if zero:
+        q = q - zero
+    return q
+
+
 def _natural_plane_words(bits: np.ndarray) -> np.ndarray:
     """(out, half_k) 0/1 bits -> (out, half_k//8) uint8, one byte per 8
     consecutive lanes, bit i of word g = bits[:, 8g+i].

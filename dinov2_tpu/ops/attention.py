@@ -46,7 +46,7 @@ def vanilla_attention(
     return out.astype(v.dtype)
 
 
-def resolve_attention_path(flash, t: int, d: int) -> str:
+def resolve_attention_path(flash, t: int, d: int, itemsize: int = 2) -> str:
     """Resolve the attention-path choice to "slab" | "flash" | "vanilla".
 
     "auto" picks per shape from v5e measurements (docs/TPU_NOTES.md):
@@ -69,7 +69,9 @@ def resolve_attention_path(flash, t: int, d: int) -> str:
         return "vanilla"
     from dinov2_tpu.ops.fused_attention import fits_slab
 
-    if fits_slab(t, d):
+    # itemsize matters: an f32 slab doubles the VMEM footprint vs bf16, and
+    # picking "slab" past the budget is a runtime Mosaic allocation failure
+    if fits_slab(t, d, itemsize):
         return "slab"
     return "flash" if t >= 1024 else "vanilla"
 
@@ -100,7 +102,7 @@ def self_attention_block(
     scale = 1.0 / (hd**0.5)
     proj_kernel = proj_params["kernel"]
     if (
-        resolve_attention_path(flash, t, d) == "slab"
+        resolve_attention_path(flash, t, d, x_norm.dtype.itemsize) == "slab"
         and not hasattr(proj_kernel, "ggml_type")
         and "bias" in proj_params
     ):
@@ -133,7 +135,7 @@ def self_attention(
     scale = 1.0 / (hd**0.5)
 
     qkv = apply_linear(x, qkv_params)
-    path = resolve_attention_path(flash, t, d)
+    path = resolve_attention_path(flash, t, d, x.dtype.itemsize)
 
     if path == "slab":
         from dinov2_tpu.ops.fused_attention import slab_attention

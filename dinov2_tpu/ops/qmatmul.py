@@ -44,25 +44,11 @@ def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
     in_dim = ql.codes.shape[1] * (2 if getattr(ql, "packed", False) else 1)
     nb = in_dim // 32
     if getattr(ql, "packed", False):
-        # natural-order planes (models/params.py): byte j = element j (lo
-        # nibble) and element j+in/2 (hi); q5 5th-bit words cover 16
-        # consecutive lanes of each plane
-        qs = ql.codes
-        lo = (qs & 0xF).astype(jnp.int32)  # (out, in/2) = elements [0, in/2)
-        hi = (qs >> 4).astype(jnp.int32)  # elements [in/2, in)
-        if ql.qh_lo is not None:
-            shifts = jnp.arange(8, dtype=jnp.uint32)  # u8 words, 8 lanes each
+        from dinov2_tpu.models.params import decode_packed_planes
 
-            def bits(words):
-                b = (words.astype(jnp.uint32)[..., None] >> shifts) & 1
-                return b.reshape(out_dim, in_dim // 2).astype(jnp.int32)
-
-            lo = lo | (bits(ql.qh_lo) << 4)
-            hi = hi | (bits(ql.qh_hi) << 4)
-        q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
-        if ql.m is None:  # symmetric zero points
-            q = q - (16.0 if ql.qh_lo is not None else 8.0)
-        q = q.reshape(out_dim, nb, 32)
+        zero = 0 if ql.m is not None else (16 if ql.qh_lo is not None else 8)
+        q = decode_packed_planes(ql.codes, ql.qh_lo, ql.qh_hi, zero, jnp)
+        q = q.astype(jnp.float32).reshape(out_dim, nb, 32)
     else:
         q = ql.codes.astype(jnp.float32).reshape(out_dim, nb, 32)
     w = q * ql.d[..., None]
@@ -81,17 +67,28 @@ def _apply_activation(y: jnp.ndarray, activation: str | None) -> jnp.ndarray:
     return y
 
 
-def quant_matmul(x: jnp.ndarray, ql, backend: str = "auto") -> jnp.ndarray:
-    """y = x @ W^T where W is a packed (out, in) QuantLinear."""
+def quant_matmul(
+    x: jnp.ndarray,
+    ql,
+    backend: str = "auto",
+    bias: jnp.ndarray | None = None,
+    activation: str | None = None,
+) -> jnp.ndarray:
+    """y = x @ W^T (+ bias, + activation) where W is a (out, in) QuantLinear.
+    THE quantized-matmul dispatch point: Pallas fused kernel (bias/activation
+    in the epilogue) when available, else XLA dequant-then-matmul."""
     if _resolve_backend(backend) == "pallas":
         try:
             from dinov2_tpu.ops.pallas_qmatmul import quant_matmul_pallas
-
-            return quant_matmul_pallas(x, ql)
         except (ImportError, NotImplementedError):
             pass
+        else:
+            return quant_matmul_pallas(x, ql, bias=bias, activation=activation)
     w = dequant_weight(ql, dtype=x.dtype)
-    return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    y = jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return _apply_activation(y, activation)
 
 
 def apply_linear(
@@ -111,16 +108,12 @@ def apply_linear(
     otherwise each quantized matmul pays a separate XLA elementwise pass over
     the (M, N) output (the round-1 fused-quant large-batch gap)."""
     kernel = layer["kernel"]
-    if hasattr(kernel, "ggml_type"):  # QuantLinear
-        if _resolve_backend(backend) == "pallas":
-            from dinov2_tpu.ops.pallas_qmatmul import quant_matmul_pallas
-
-            return quant_matmul_pallas(
-                x, kernel, bias=layer.get("bias"), activation=activation
-            )
-        y = quant_matmul(x, kernel, backend=backend)
-    else:
-        y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
+    if hasattr(kernel, "ggml_type"):  # QuantLinear -> single dispatch point
+        return quant_matmul(
+            x, kernel, backend=backend,
+            bias=layer.get("bias"), activation=activation,
+        )
+    y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
     if "bias" in layer:
         y = y + layer["bias"].astype(x.dtype)
     return _apply_activation(y, activation)

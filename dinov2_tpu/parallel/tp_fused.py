@@ -53,23 +53,21 @@ from dinov2_tpu.ops.qmatmul import apply_linear
 
 
 def _to_soa(ql: QuantLinear) -> QuantLinear:
-    """Packed-nibble QuantLinear -> int8-SoA (host numpy; row-split needs it)."""
+    """Packed-nibble QuantLinear -> int8-SoA (host numpy; row-split needs it).
+    Single source of truth for the plane layout: models/params.py::
+    decode_packed_planes (shared with ops/qmatmul.py::dequant_weight)."""
     if not ql.packed:
         return ql
-    codes = np.asarray(ql.codes)  # (..., out, k/2) uint8 natural planes
-    lo = (codes & 0xF).astype(np.int16)
-    hi = (codes >> 4).astype(np.int16)
-    if ql.qh_lo is not None:
-        def bits(words):
-            w = np.asarray(words).astype(np.uint16)  # (..., out, k/16) u8 words
-            b = (w[..., None] >> np.arange(8, dtype=np.uint16)) & 1
-            return b.reshape(*w.shape[:-1], w.shape[-1] * 8).astype(np.int16)
+    from dinov2_tpu.models.params import decode_packed_planes
 
-        lo = lo | (bits(ql.qh_lo) << 4)
-        hi = hi | (bits(ql.qh_hi) << 4)
-    q = np.concatenate([lo, hi], axis=-1)
-    if ql.m is None:  # symmetric formats pre-subtract the zero point
-        q = q - (16 if ql.qh_lo is not None else 8)
+    zero = 0 if ql.m is not None else (16 if ql.qh_lo is not None else 8)
+    q = decode_packed_planes(
+        np.asarray(ql.codes),
+        None if ql.qh_lo is None else np.asarray(ql.qh_lo),
+        None if ql.qh_hi is None else np.asarray(ql.qh_hi),
+        zero,
+        np,
+    )
     return QuantLinear(
         codes=jnp.asarray(q.astype(np.int8)),
         d=ql.d,
@@ -87,6 +85,11 @@ def _section_perm(out_dim: int, sections: int, shards: int) -> np.ndarray | None
     if sections == 1:
         return None
     sz = out_dim // sections
+    if sz % shards:
+        raise ValueError(
+            f"section size {sz} (out={out_dim}/{sections}) does not split "
+            f"over tp={shards}"
+        )
     per = sz // shards
     perm = [
         sec * sz + s * per + j
@@ -231,7 +234,7 @@ def _attention_core(qkv: jnp.ndarray, local_heads: int, head_dim: int, opts) -> 
     b, t, three_dl = qkv.shape
     dl = three_dl // 3
     scale = 1.0 / (head_dim**0.5)
-    path = resolve_attention_path(opts.flash_attention, t, dl)
+    path = resolve_attention_path(opts.flash_attention, t, dl, qkv.dtype.itemsize)
     if path == "slab":
         from dinov2_tpu.ops.fused_attention import slab_attention
 
@@ -252,7 +255,8 @@ def _tp_encoder_layer(x, layer, config, opts, axis):
     out = _attention_core(qkv, local_heads, head_dim, opts)
     part = apply_linear(out, {"kernel": layer["proj"]["kernel"]})  # partial (B,T,D)
     att = jax.lax.psum(part, axis)
-    att = att + layer["proj"]["bias"].astype(att.dtype)
+    if "bias" in layer["proj"]:
+        att = att + layer["proj"]["bias"].astype(att.dtype)
     x = x + att * layer["ls1"].astype(x.dtype)
 
     h = layer_norm(x, layer["norm2"], config.eps)

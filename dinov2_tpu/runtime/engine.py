@@ -102,15 +102,30 @@ class DinoEngine:
                     tp_prepare_params,
                 )
 
-                ptp, specs = tp_prepare_params(
-                    self.loaded.params, self.config, tp=mesh_axes["model"]
-                )
-                self.params = tp_place_params(ptp, specs, self.mesh)
-                self._jit_sm_forward = make_tp_forward(
-                    specs, self.config, self.opts, self.mesh
-                )
-                self._sm_forward = self._jit_sm_forward
-            else:
+                try:
+                    ptp, specs = tp_prepare_params(
+                        self.loaded.params, self.config, tp=mesh_axes["model"]
+                    )
+                except ValueError as e:
+                    from dinov2_tpu.utils.logging import get_logger
+
+                    get_logger().warning(
+                        "TP x fused-quant unavailable (%s); falling back to "
+                        "quant_mode='dequant'", e,
+                    )
+                    tp_fused = False
+                    quant_mode = "dequant"
+                    self.loaded = load_params(
+                        model_path, dtype=dtype, quant_mode="dequant"
+                    )
+                    self.params = self.loaded.params
+                else:
+                    self.params = tp_place_params(ptp, specs, self.mesh)
+                    self._jit_sm_forward = make_tp_forward(
+                        specs, self.config, self.opts, self.mesh
+                    )
+                    self._sm_forward = self._jit_sm_forward
+            if not tp_fused:
                 from dinov2_tpu.parallel.mesh import shard_params
 
                 self.params = shard_params(

@@ -7,7 +7,8 @@ variants attribute wall time to attention core, LayerNorms, and epilogues —
 cheaper and more robust in this tunneled environment than a trace viewer.
 
 Usage:  python scripts/profile_mfu.py [variant ...]
-Variants: full noattn nol n bf16ln flash noresid isolated
+Variants: full flash qkvonly noln bf16ln nomlp isolated (default: all)
+Unknown variant names are rejected.
 """
 
 from __future__ import annotations
@@ -98,7 +99,11 @@ def make_forward(config, opts, attn="vanilla", ln="f32", mlp=True):
 
 
 def main():
-    which = set(sys.argv[1:]) or {"full", "qkvonly", "noln", "bf16ln", "flash", "isolated"}
+    known = {"full", "flash", "qkvonly", "noln", "bf16ln", "nomlp", "isolated"}
+    which = set(sys.argv[1:]) or (known - {"nomlp"})
+    unknown = which - known
+    if unknown:
+        sys.exit(f"unknown variants {sorted(unknown)}; choose from {sorted(known)}")
     base = PRESETS["base"]
     config = DinoConfig(**{**base.__dict__, "num_classes": 1000})
     opts = ModelOptions(parity="reference", compute_dtype=jnp.bfloat16)
