@@ -44,8 +44,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight-decay", type=float, default=0.05)
-    p.add_argument("--mesh", default=None,
-                   help="mesh as 'dp' or 'dp,tp' device counts (default: no mesh)")
+    # --mesh comes from add_common_args ('dp' or 'dp,tp' device counts)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--export", default=None, help="write the fine-tuned model as GGUF")
     p.add_argument("--decode-threads", type=int, default=8)
@@ -81,13 +80,10 @@ def main(argv=None) -> int:
         "bias": jnp.zeros((len(classes),), jnp.float32),
     }
 
-    mesh = None
-    if args.mesh:
-        parts = [int(v) for v in args.mesh.split(",")]
-        axes = {"data": parts[0]}
-        if len(parts) > 1:
-            axes["model"] = parts[1]
-        mesh = make_mesh(axes)
+    from dinov2_tpu.cli._common import mesh_axes_of
+
+    axes = mesh_axes_of(args)
+    mesh = make_mesh(axes) if axes else None
 
     trainer = make_trainer(
         config,
