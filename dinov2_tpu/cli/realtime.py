@@ -18,7 +18,12 @@ import time
 
 import numpy as np
 
-from dinov2_tpu.cli._common import add_common_args, dtype_of, save_image_rgb
+from dinov2_tpu.cli._common import (
+    add_common_args,
+    dtype_of,
+    mesh_axes_of,
+    save_image_rgb,
+)
 
 WIDTH, HEIGHT = 854, 480  # realtime.h:4-5
 
@@ -89,6 +94,8 @@ def main(argv=None) -> int:
         quant_mode=args.quant_mode,
         parity=args.parity,
         flash_attention=True if args.flash_attn else "auto",
+        data_parallel=args.data_parallel,
+        mesh_axes=mesh_axes_of(args),
     )
 
     display = not args.no_display
