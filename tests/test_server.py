@@ -158,3 +158,31 @@ def test_wedged_batcher_returns_504(tmp_path, rng):
         assert exc.value.code == 504
     finally:
         srv._http.shutdown()
+
+
+def test_server_mixed_concurrent_load(server, rng):
+    """Soak: interleaved classify + features from many threads, all served
+    correctly (batcher groups by mode, no cross-mode contamination)."""
+    n = 12
+    results = [None] * n
+    errors = []
+
+    def call(i):
+        try:
+            if i % 2 == 0:
+                out = _post(server.port, "/classify", _jpg(rng, 70, 70))
+                assert "topk" in out, out
+            else:
+                out = _post(server.port, "/features", _jpg(rng, 96, 128))
+                assert out["grid"] == [96 // 14 + 1, 128 // 14 + 1], out
+            results[i] = out
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors[:3]
+    assert all(r is not None for r in results)
