@@ -87,18 +87,57 @@ def _sequence_shard(x: jnp.ndarray, opts: ModelOptions) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, P("data", "model", None))
 
 
-def encoder_layer(
+def _attention_half_layer(
     x: jnp.ndarray, layer: dict, config: DinoConfig, opts: ModelOptions
 ) -> jnp.ndarray:
-    x = _sequence_shard(x, opts)
+    """norm1 -> attention -> proj -> LayerScale -> residual, maximally fused.
+
+    On the TPU slab path with dense weights the WHOLE half-layer runs as one
+    Pallas kernel (ops/fused_attention.py::slab_layer_block): LN + fused-QKV
+    matmul + per-head attention + proj + bias + LayerScale + residual — the
+    (B, T, 3D) qkv slab and the LN output never exist in HBM. Falls back to
+    the slab-with-proj-epilogue kernel, then to the unfused paths, keeping
+    identical numerics ordering at every level."""
+    from dinov2_tpu.ops.attention import resolve_attention_path
+
+    heads = config.num_attention_heads
+    b, t, d = x.shape
+    qkv_k = layer["qkv"]["kernel"]
+    proj_k = layer["proj"]["kernel"]
+    if (
+        resolve_attention_path(opts.flash_attention, t, d, x.dtype.itemsize)
+        == "slab"
+        and not hasattr(qkv_k, "ggml_type")
+        and not hasattr(proj_k, "ggml_type")
+        and "bias" in layer["qkv"]
+        and "bias" in layer["proj"]
+    ):
+        from dinov2_tpu.ops.fused_attention import (
+            fits_slab_layer,
+            slab_layer_block,
+        )
+
+        if fits_slab_layer(t, d, x.dtype.itemsize):
+            return slab_layer_block(
+                x, layer["norm1"]["scale"], layer["norm1"]["bias"],
+                qkv_k, layer["qkv"]["bias"], proj_k, layer["proj"]["bias"],
+                layer["ls1"], heads, 1.0 / (d // heads) ** 0.5, config.eps,
+            )
     h = layer_norm(x, layer["norm1"], config.eps)
     # LayerScale + residual in the compute dtype (keeps the whole residual
     # stream fusable; ls values are O(1e-5..1), well inside bf16 range); on
     # the slab path proj+bias+ls+residual run inside the attention kernel
-    x = self_attention_block(
+    return self_attention_block(
         x, h, layer["qkv"], layer["proj"], layer["ls1"],
-        config.num_attention_heads, flash=opts.flash_attention,
+        heads, flash=opts.flash_attention,
     )
+
+
+def encoder_layer(
+    x: jnp.ndarray, layer: dict, config: DinoConfig, opts: ModelOptions
+) -> jnp.ndarray:
+    x = _sequence_shard(x, opts)
+    x = _attention_half_layer(x, layer, config, opts)
 
     h = layer_norm(x, layer["norm2"], config.eps)
     if config.swiglu:

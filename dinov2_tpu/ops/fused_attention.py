@@ -274,6 +274,188 @@ def _slab_block_forward(x, qkv, w_proj, b_proj, ls1, num_heads, scale, interpret
     )(x, qkv, w_proj.astype(qkv.dtype), b_proj.reshape(1, d), ls1.reshape(1, d))
 
 
+# ---------------------------------------------------------------------------
+# Whole attention half-layer in one kernel: LN1 + QKV matmul + slab attention
+# + proj + bias + LayerScale + residual.
+# ---------------------------------------------------------------------------
+#
+# Beyond slab_attention_block, this also pulls the pre-LN and the fused-QKV
+# projection into the kernel: the (B, T, 3D) qkv slab never exists in HBM
+# (~78 MB written + read per ViT-B b64 layer) and the LN output round-trip
+# disappears too. The (D, 3D) and (D, D) weight tiles use constant index
+# maps, so Mosaic's pipeliner fetches them once per pallas_call, not per grid
+# cell. Numerics keep the exact unfused ordering: f32 LN stats, f32 matmul
+# accumulate -> compute-dtype cast -> bias -> attention -> proj -> bias ->
+# LayerScale -> residual.
+
+
+def _slab_layer_kernel(
+    x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref, bp_ref, ls_ref,
+    o_ref, a_scr, *, num_heads, scale, d, nb, eps,
+):
+    hd = d // num_heads
+    fold_scale = _is_pow2(scale)
+    for b in range(nb):
+        xb = x_ref[b]  # (t, d)
+        x32 = xb.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+        h32 = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        h = (h32 * lns_ref[:] + lnb_ref[:]).astype(xb.dtype)
+        acc = jax.lax.dot_general(
+            h, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qkv = acc.astype(xb.dtype) + bq_ref[:].astype(xb.dtype)  # (t, 3d)
+        for hh in range(num_heads):
+            q = qkv[:, hh * hd : (hh + 1) * hd]
+            k = qkv[:, d + hh * hd : d + (hh + 1) * hd]
+            v = qkv[:, 2 * d + hh * hd : 2 * d + (hh + 1) * hd]
+            if fold_scale:
+                q = q * jnp.asarray(scale, q.dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if not fold_scale:
+                s = s * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2((s - m) * _LOG2E)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            a_scr[b, :, hh * hd : (hh + 1) * hd] = (pv / l).astype(a_scr.dtype)
+        acc = jax.lax.dot_general(
+            a_scr[b], wp_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = acc.astype(o_ref.dtype) + bp_ref[:].astype(o_ref.dtype)
+        o_ref[b] = xb + y * ls_ref[:].astype(o_ref.dtype)
+
+
+def _layer_block_cost(nb: int, t: int, d: int, itemsize: int = 2) -> int:
+    xio = nb * t * d * itemsize
+    qkv_val = nb * t * 3 * d * itemsize
+    ln32 = nb * t * d * 4
+    scores = -(-t // 8) * 8 * -(-t // 128) * 128 * 4
+    weights = 3 * d * d * itemsize + d * d * itemsize
+    return 2 * 2 * xio + xio + qkv_val + ln32 + weights + 2 * scores
+
+
+def fits_slab_layer(t: int, d: int, itemsize: int = 2) -> bool:
+    return t <= MAX_SLAB_TOKENS and _layer_block_cost(1, t, d, itemsize) < _VMEM_BUDGET
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def slab_layer_block(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    b_qkv: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    b_proj: jnp.ndarray,
+    ls1: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    eps: float,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """x + ls1 * proj(slab_attention(qkv(LN(x)))), one Pallas kernel.
+
+    x: (B, T, D); w_qkv: (D, 3D) and w_proj: (D, D) stored (in, out);
+    ln_scale/ln_bias/b_proj/ls1: (D,), b_qkv: (3D,). Differentiable via
+    recompute through the unfused reference ordering."""
+    return _slab_layer_forward(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, ls1,
+        num_heads, scale, eps, interpret,
+    )
+
+
+def _slab_layer_forward(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, ls1,
+    num_heads, scale, eps, interpret=None,
+):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, d = x.shape
+    nb = 1
+    for cand in (2, 4):
+        if b % cand == 0 and _layer_block_cost(cand, t, d, x.dtype.itemsize) < _VMEM_BUDGET:
+            nb = cand
+
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(
+            _slab_layer_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb,
+            eps=eps,
+        ),
+        grid=(b // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((nb, t, d), x.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * t * t * d + 2 * b * t * d * (3 * d + d),
+            bytes_accessed=2 * x.size * x.dtype.itemsize + 4 * d * d * 2,
+            transcendentals=b * num_heads * t * t,
+        ),
+    )(
+        x, row(ln_scale), row(ln_bias), w_qkv.astype(x.dtype),
+        row(b_qkv), w_proj.astype(x.dtype), row(b_proj), row(ls1),
+    )
+
+
+def _slab_layer_reference(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, ls1, num_heads, scale, eps
+):
+    """Unfused ordering: vit.layer_norm + apply_linear + slab reference."""
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
+    h = ((x32 - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(x.dtype)
+    qkv = jnp.dot(h, w_qkv.astype(h.dtype), preferred_element_type=h.dtype)
+    qkv = qkv + b_qkv.astype(h.dtype)
+    return _slab_block_reference(x, qkv, w_proj, b_proj, ls1, num_heads, scale)
+
+
+def _slab_layer_fwd(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, ls1,
+    num_heads, scale, eps, interpret,
+):
+    out = _slab_layer_forward(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, ls1,
+        num_heads, scale, eps, interpret,
+    )
+    return out, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, ls1)
+
+
+def _slab_layer_bwd(num_heads, scale, eps, interpret, residuals, g):
+    _, vjp = jax.vjp(
+        lambda *a: _slab_layer_reference(*a, num_heads, scale, eps), *residuals
+    )
+    return vjp(g)
+
+
+slab_layer_block.defvjp(_slab_layer_fwd, _slab_layer_bwd)
+
+
 def _slab_block_reference(x, qkv, w_proj, b_proj, ls1, num_heads, scale):
     """Unfused reference math: matches apply_linear + encoder_layer ordering."""
     out = _slab_reference(qkv, num_heads, scale)

@@ -7,7 +7,7 @@ variants attribute wall time to attention core, LayerNorms, and epilogues —
 cheaper and more robust in this tunneled environment than a trace viewer.
 
 Usage:  python scripts/profile_mfu.py [variant ...]
-Variants: full flash qkvonly noln bf16ln nomlp isolated (default: all)
+Variants: full flash slab qkvonly noln bf16ln nomlp isolated (default: all)
 Unknown variant names are rejected.
 """
 
@@ -77,6 +77,8 @@ def make_forward(config, opts, attn="vanilla", ln="f32", mlp=True):
             h = self_attention(h, lp["qkv"], lp["proj"], config.num_attention_heads, flash=False)
         elif attn == "flash":
             h = self_attention(h, lp["qkv"], lp["proj"], config.num_attention_heads, flash=True)
+        elif attn == "slab":
+            h = self_attention(h, lp["qkv"], lp["proj"], config.num_attention_heads, flash="slab")
         elif attn == "qkvonly":  # qkv+proj matmuls kept, attention core skipped
             qkv = apply_linear(h, lp["qkv"])
             h = apply_linear(qkv[..., : x.shape[-1]], lp["proj"])
@@ -99,8 +101,8 @@ def make_forward(config, opts, attn="vanilla", ln="f32", mlp=True):
 
 
 def main():
-    known = {"full", "flash", "qkvonly", "noln", "bf16ln", "nomlp", "isolated"}
-    which = set(sys.argv[1:]) or (known - {"nomlp"})
+    known = {"full", "flash", "slab", "qkvonly", "noln", "bf16ln", "nomlp", "isolated"}
+    which = set(sys.argv[1:]) or (known - {"nomlp"})  # slab = production path
     unknown = which - known
     if unknown:
         sys.exit(f"unknown variants {sorted(unknown)}; choose from {sorted(known)}")
@@ -124,6 +126,7 @@ def main():
     variants = {
         "full": dict(attn="vanilla", ln="f32"),
         "flash": dict(attn="flash", ln="f32"),
+        "slab": dict(attn="slab", ln="f32"),
         "qkvonly": dict(attn="qkvonly", ln="f32"),
         "noln": dict(attn="vanilla", ln="none"),
         "bf16ln": dict(attn="vanilla", ln="bf16"),

@@ -272,3 +272,41 @@ def test_flash_backward_kernels_match_autodiff(rng):
     got = _flash_backward(q, k, v, out, lse, g, scale, interpret=True)
     for a, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(w), atol=2e-6)
+
+
+def test_slab_layer_block_matches_unfused(rng):
+    """Full half-layer kernel (LN + qkv + attention + proj + LayerScale +
+    residual) must match the unfused ordering in f32, grads flow."""
+    import jax
+    from dinov2_tpu.ops.fused_attention import (
+        _slab_layer_reference,
+        slab_layer_block,
+    )
+
+    b, t, heads, d = 2, 37, 4, 64
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    lns = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    wq = jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.05, jnp.float32)
+    bq = jnp.asarray(rng.standard_normal(3 * d) * 0.1, jnp.float32)
+    wp = jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)
+    bp = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.1, 1.0, d), jnp.float32)
+    scale, eps = 0.25, 1e-6
+
+    got = np.asarray(
+        slab_layer_block(x, lns, lnb, wq, bq, wp, bp, ls, heads, scale, eps, True)
+    )
+    want = np.asarray(
+        _slab_layer_reference(x, lns, lnb, wq, bq, wp, bp, ls, heads, scale, eps)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+    def loss(x, wq, wp):
+        return jnp.sum(
+            slab_layer_block(x, lns, lnb, wq, bq, wp, bp, ls, heads, scale, eps, True) ** 2
+        )
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(x, wq, wp)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
