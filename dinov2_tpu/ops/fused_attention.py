@@ -343,8 +343,18 @@ def _layer_block_cost(nb: int, t: int, d: int, itemsize: int = 2) -> int:
     return 2 * 2 * xio + xio + qkv_val + ln32 + weights + 2 * scores
 
 
+# The half-layer kernel gets a higher budget than the general 12 MB: its cost
+# model is tighter (weights counted once — constant index maps aren't double
+# -buffered) and nb=2 at ViT-B (13.4 MB modeled) compiles on v5e and measures
+# ~7% faster than nb=1 (per-cell DMA amortization).
+_LAYER_VMEM_BUDGET = 14 * 1024 * 1024
+
+
 def fits_slab_layer(t: int, d: int, itemsize: int = 2) -> bool:
-    return t <= MAX_SLAB_TOKENS and _layer_block_cost(1, t, d, itemsize) < _VMEM_BUDGET
+    return (
+        t <= MAX_SLAB_TOKENS
+        and _layer_block_cost(1, t, d, itemsize) < _LAYER_VMEM_BUDGET
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
@@ -382,7 +392,11 @@ def _slab_layer_forward(
     b, t, d = x.shape
     nb = 1
     for cand in (2, 4):
-        if b % cand == 0 and _layer_block_cost(cand, t, d, x.dtype.itemsize) < _VMEM_BUDGET:
+        if (
+            b % cand == 0
+            and _layer_block_cost(cand, t, d, x.dtype.itemsize)
+            < _LAYER_VMEM_BUDGET
+        ):
             nb = cand
 
     row = lambda v: v.reshape(1, -1).astype(jnp.float32)
