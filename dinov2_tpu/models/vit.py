@@ -40,6 +40,10 @@ class ModelOptions:
     flash_attention: Any = "auto"  # True | False | "auto" (per-shape, see ops/attention.py)
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False  # rematerialize encoder layers (training memory/FLOPs trade)
+    fuse_mlp: bool = False  # MLP half-layer Pallas kernel: measured a net ~2%
+    # LOSS at ViT-B b64 on v5e (the per-image m=257 GEMMs inside the kernel
+    # lose more MXU efficiency than the saved (T, 4D) HBM round-trip gains —
+    # XLA batches the whole (B·T, D) GEMM); kept for HBM-constrained setups
     sequence_parallel: bool = False  # shard the token axis on the 'model' mesh
     # axis between attention blocks (Megatron-SP); requires a mesh context with
     # a 'model' axis (jax.sharding.set_mesh). XLA inserts the all-gather before
@@ -138,14 +142,51 @@ def encoder_layer(
 ) -> jnp.ndarray:
     x = _sequence_shard(x, opts)
     x = _attention_half_layer(x, layer, config, opts)
+    return _mlp_half_layer(x, layer, config, opts)
 
+
+def _mlp_half_layer(
+    x: jnp.ndarray, layer: dict, config: DinoConfig, opts: ModelOptions
+) -> jnp.ndarray:
+    """norm2 -> MLP -> LayerScale -> residual. On the TPU slab path with dense
+    MLP weights the whole half-layer is one Pallas kernel
+    (ops/fused_attention.py::slab_mlp_block) — the (T, 4D) fc1 activation
+    never exists in HBM. SwiGLU, quantized weights, and over-budget shapes
+    keep the unfused path with identical numerics ordering."""
+    b, t, d = x.shape
+    mlp = layer["mlp"]
+    if (
+        opts.fuse_mlp
+        and not config.swiglu
+        and not hasattr(mlp["fc1"]["kernel"], "ggml_type")
+    ):
+        from dinov2_tpu.ops.attention import resolve_attention_path
+
+        if (
+            resolve_attention_path(opts.flash_attention, t, d, x.dtype.itemsize)
+            == "slab"
+            and "bias" in mlp["fc1"]
+            and "bias" in mlp["fc2"]
+        ):
+            from dinov2_tpu.ops.fused_attention import (
+                fits_slab_mlp,
+                slab_mlp_block,
+            )
+
+            dh = mlp["fc1"]["kernel"].shape[-1]
+            if fits_slab_mlp(t, d, dh, x.dtype.itemsize):
+                return slab_mlp_block(
+                    x, layer["norm2"]["scale"], layer["norm2"]["bias"],
+                    mlp["fc1"]["kernel"], mlp["fc1"]["bias"],
+                    mlp["fc2"]["kernel"], mlp["fc2"]["bias"],
+                    layer["ls2"], opts.gelu_approximate, config.eps,
+                )
     h = layer_norm(x, layer["norm2"], config.eps)
     if config.swiglu:
         h = swiglu_block(h, layer["mlp"])
     else:
         h = mlp_block(h, layer["mlp"], opts.gelu_approximate)
-    x = x + h * layer["ls2"].astype(x.dtype)
-    return x
+    return x + h * layer["ls2"].astype(x.dtype)
 
 
 def embed_tokens(

@@ -470,6 +470,171 @@ def _slab_layer_bwd(num_heads, scale, eps, interpret, residuals, g):
 slab_layer_block.defvjp(_slab_layer_fwd, _slab_layer_bwd)
 
 
+# ---------------------------------------------------------------------------
+# MLP half-layer in one kernel: LN2 + fc1 + GELU + fc2 + LayerScale + residual
+# ---------------------------------------------------------------------------
+#
+# The (B, T, 4D) fc1 output is the single largest activation in the encoder
+# (~100 MB written + read per ViT-B b64 layer). The kernel streams it in
+# D-wide chunks of the hidden axis that never leave VMEM: for each chunk c,
+# h_c = GELU(LN(x) @ W1[:, c]) and the fc2 accumulator gains h_c @ W2[c, :]
+# — f32 accumulation, so the chunked contraction matches the monolithic
+# matmul to reassociation noise. Weight tiles ride constant index maps
+# (fetched once per pallas_call).
+
+
+def _slab_mlp_kernel(
+    x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
+    o_ref, *, d, dh, nb, eps, approximate_gelu,
+):
+    n_chunks = dh // d
+    for b in range(nb):
+        xb = x_ref[b]
+        x32 = xb.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+        h32 = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        h = (h32 * lns_ref[:] + lnb_ref[:]).astype(xb.dtype)
+        acc = jnp.zeros((xb.shape[0], d), jnp.float32)
+        for c in range(n_chunks):
+            a1 = jax.lax.dot_general(
+                h, w1_ref[:, c * d : (c + 1) * d], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            g = a1.astype(xb.dtype) + b1_ref[:, c * d : (c + 1) * d].astype(xb.dtype)
+            g = jax.nn.gelu(g, approximate=approximate_gelu)
+            acc = acc + jax.lax.dot_general(
+                g, w2_ref[c * d : (c + 1) * d, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        y = acc.astype(o_ref.dtype) + b2_ref[:].astype(o_ref.dtype)
+        o_ref[b] = xb + y * ls_ref[:].astype(o_ref.dtype)
+
+
+def _mlp_block_cost(nb: int, t: int, d: int, dh: int, itemsize: int = 2) -> int:
+    xio = nb * t * d * itemsize
+    weights = 2 * d * dh * itemsize
+    ln32 = nb * t * d * 4
+    chunk = t * d * (4 + itemsize)  # f32 fc1 chunk acc + bf16 gelu chunk
+    acc = t * d * 4
+    return 2 * 2 * xio + weights + ln32 + chunk + acc
+
+
+def fits_slab_mlp(t: int, d: int, dh: int, itemsize: int = 2) -> bool:
+    return (
+        t <= MAX_SLAB_TOKENS
+        and dh % d == 0
+        and _mlp_block_cost(1, t, d, dh, itemsize) < _LAYER_VMEM_BUDGET
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def slab_mlp_block(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    ls2: jnp.ndarray,
+    approximate_gelu: bool,
+    eps: float,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """x + ls2 * fc2(GELU(fc1(LN(x)))), one Pallas kernel; the (T, 4D) fc1
+    activation never exists in HBM. w1: (D, DH), w2: (DH, D) stored (in, out);
+    requires DH % D == 0 (true for every DINOv2 MLP: DH = 4D)."""
+    return _slab_mlp_forward(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, approximate_gelu, eps,
+        interpret,
+    )
+
+
+def _slab_mlp_forward(
+    x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, approximate_gelu, eps,
+    interpret=None,
+):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, d = x.shape
+    dh = w1.shape[1]
+    nb = 1
+    for cand in (2, 4):
+        if (
+            b % cand == 0
+            and _mlp_block_cost(cand, t, d, dh, x.dtype.itemsize)
+            < _LAYER_VMEM_BUDGET
+        ):
+            nb = cand
+
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(
+            _slab_mlp_kernel, d=d, dh=dh, nb=nb, eps=eps,
+            approximate_gelu=approximate_gelu,
+        ),
+        grid=(b // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * t * d * dh,
+            bytes_accessed=2 * x.size * x.dtype.itemsize + 2 * d * dh * 2,
+            transcendentals=b * t * dh,
+        ),
+    )(
+        x, row(ln_scale), row(ln_bias), w1.astype(x.dtype), row(b1),
+        w2.astype(x.dtype), row(b2), row(ls2),
+    )
+
+
+def _slab_mlp_reference(
+    x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, approximate_gelu, eps
+):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
+    h = ((x32 - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(x.dtype)
+    a1 = jnp.dot(h, w1.astype(h.dtype), preferred_element_type=h.dtype)
+    g = jax.nn.gelu(a1 + b1.astype(h.dtype), approximate=approximate_gelu)
+    y = jnp.dot(g, w2.astype(h.dtype), preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype) + b2.astype(x.dtype)
+    return x + y * ls2.astype(x.dtype)
+
+
+def _slab_mlp_fwd(x, lns, lnb, w1, b1, w2, b2, ls2, approximate_gelu, eps, interpret):
+    out = _slab_mlp_forward(
+        x, lns, lnb, w1, b1, w2, b2, ls2, approximate_gelu, eps, interpret
+    )
+    return out, (x, lns, lnb, w1, b1, w2, b2, ls2)
+
+
+def _slab_mlp_bwd(approximate_gelu, eps, interpret, residuals, g):
+    _, vjp = jax.vjp(
+        lambda *a: _slab_mlp_reference(*a, approximate_gelu, eps), *residuals
+    )
+    return vjp(g)
+
+
+slab_mlp_block.defvjp(_slab_mlp_fwd, _slab_mlp_bwd)
+
+
 def _slab_block_reference(x, qkv, w_proj, b_proj, ls1, num_heads, scale):
     """Unfused reference math: matches apply_linear + encoder_layer ordering."""
     out = _slab_reference(qkv, num_heads, scale)

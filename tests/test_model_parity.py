@@ -245,3 +245,37 @@ def test_bf16_classification_stability(tmp_path, torch_seed):
         )["probs"]
     )
     assert (probs32.argmax(-1) == probs16.argmax(-1)).all()
+
+
+def test_fuse_mlp_option_matches_default(rng):
+    """ModelOptions(fuse_mlp=True) routes the MLP half-layer through the
+    Pallas kernel (interpret on CPU) with unchanged results."""
+    import jax.numpy as jnp
+
+    from dinov2_tpu.models.config import DinoConfig
+    from dinov2_tpu.models.params import init_params
+    from dinov2_tpu.models.vit import ModelOptions, forward
+
+    cfg = DinoConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        num_classes=4, patch_size=14, img_size=70,
+    )
+    params = init_params(cfg, seed=0, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 70, 70, 3)), jnp.float32)
+    base = forward(
+        params, x, cfg, ModelOptions(parity="hf", compute_dtype=jnp.float32),
+        classify=True,
+    )
+    # force the slab path so fuse_mlp engages even on CPU (interpret kernels)
+    fused = forward(
+        params, x, cfg,
+        ModelOptions(
+            parity="hf", compute_dtype=jnp.float32,
+            flash_attention="slab", fuse_mlp=True,
+        ),
+        classify=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["probs"]), np.asarray(base["probs"]),
+        rtol=2e-5, atol=2e-6,
+    )

@@ -310,3 +310,42 @@ def test_slab_layer_block_matches_unfused(rng):
     grads = jax.grad(loss, argnums=(0, 1, 2))(x, wq, wp)
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_slab_mlp_block_matches_unfused(rng):
+    """MLP half-layer kernel (LN + fc1 + GELU + fc2 + LayerScale + residual,
+    hidden axis chunked through VMEM) must match the unfused ordering."""
+    import jax
+    from dinov2_tpu.ops.fused_attention import (
+        _slab_mlp_reference,
+        slab_mlp_block,
+    )
+
+    b, t, d = 2, 37, 64
+    dh = 4 * d
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    lns = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, dh)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(dh) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((dh, d)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.1, 1.0, d), jnp.float32)
+
+    for approx in (True, False):
+        got = np.asarray(
+            slab_mlp_block(x, lns, lnb, w1, b1, w2, b2, ls, approx, 1e-6, True)
+        )
+        want = np.asarray(
+            _slab_mlp_reference(x, lns, lnb, w1, b1, w2, b2, ls, approx, 1e-6)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+    def loss(x, w1, w2):
+        return jnp.sum(
+            slab_mlp_block(x, lns, lnb, w1, b1, w2, b2, ls, True, 1e-6, True) ** 2
+        )
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(x, w1, w2)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
