@@ -159,6 +159,7 @@ def _mlp_half_layer(
         opts.fuse_mlp
         and not config.swiglu
         and not hasattr(mlp["fc1"]["kernel"], "ggml_type")
+        and not hasattr(mlp["fc2"]["kernel"], "ggml_type")
     ):
         from dinov2_tpu.ops.attention import resolve_attention_path
 

@@ -52,34 +52,52 @@ def _is_pow2(x: float) -> bool:
     return x > 0 and m == 0.5
 
 
+def _head_softmax_pv(q, k, v, scale) -> jnp.ndarray:
+    """One head's attention core, shared by every slab kernel: (t, hd) q/k/v
+    -> (t, hd) f32 softmax(q·kᵀ·scale)·v. Power-of-two scales (head_dim 64 ->
+    1/8 for every DINOv2 size) fold EXACTLY into bf16 q (pure exponent
+    shift), keeping the wide (t, t) f32 tile out of one elementwise pass;
+    exp2 is the TPU-native transcendental."""
+    if _is_pow2(scale):
+        q = q * jnp.asarray(scale, q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    else:
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2((s - m) * _LOG2E)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return pv / l
+
+
+def _pick_image_blocks(b: int, cost_fn, budget: int | None = None) -> int:
+    """Images per grid cell: bigger blocks amortize per-cell DMA setup,
+    subject to the kernel's VMEM cost model."""
+    budget = _LAYER_VMEM_BUDGET if budget is None else budget
+    nb = 1
+    for cand in (2, 4):
+        if b % cand == 0 and cost_fn(cand) < budget:
+            nb = cand
+    return nb
+
+
 def _slab_kernel(qkv_ref, o_ref, *, num_heads, scale, d, nb):
     hd = d // num_heads
-    # head_dim is 64 for every DINOv2 size, so scale = 1/8 is a power of two:
-    # folding it into bf16 q is EXACT (pure exponent shift) and keeps the wide
-    # (T, T) f32 tile out of one elementwise pass.
-    fold_scale = _is_pow2(scale)
     for b in range(nb):
         for h in range(num_heads):
             q = qkv_ref[b, :, h * hd : (h + 1) * hd]
             k = qkv_ref[b, :, d + h * hd : d + (h + 1) * hd]
             v = qkv_ref[b, :, 2 * d + h * hd : 2 * d + (h + 1) * hd]
-            if fold_scale:
-                q = q * jnp.asarray(scale, q.dtype)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            if not fold_scale:
-                s = s * scale
-            m = jnp.max(s, axis=-1, keepdims=True)
-            # exp2 is the TPU-native transcendental (exp(x) = exp2(x·log2e))
-            p = jnp.exp2((s - m) * _LOG2E)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # normalize on the narrow (T, hd) tile, not the (T, T) one
-            o_ref[b, :, h * hd : (h + 1) * hd] = (pv / l).astype(o_ref.dtype)
+            o_ref[b, :, h * hd : (h + 1) * hd] = _head_softmax_pv(
+                q, k, v, scale
+            ).astype(o_ref.dtype)
 
 
 def _block_cost(nb: int, t: int, d: int, itemsize: int = 2) -> int:
@@ -98,11 +116,9 @@ def fits_slab(t: int, d: int, itemsize: int = 2) -> bool:
 def _pick_nb(b: int, t: int, d: int, itemsize: int = 2) -> int:
     """Images per grid cell: bigger blocks amortize per-cell DMA setup (measured
     on v5e: nb=4 beats nb=1 by ~8% at the ViT-B bench shape) subject to VMEM."""
-    nb = 1
-    for cand in (2, 4):
-        if b % cand == 0 and _block_cost(cand, t, d, itemsize) < _VMEM_BUDGET:
-            nb = cand
-    return nb
+    return _pick_image_blocks(
+        b, lambda nb: _block_cost(nb, t, d, itemsize), _VMEM_BUDGET
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -173,27 +189,14 @@ def _slab_proj_kernel(
     x_ref, qkv_ref, w_ref, bb_ref, ls_ref, o_ref, a_scr, *, num_heads, scale, d, nb
 ):
     hd = d // num_heads
-    fold_scale = _is_pow2(scale)
     for b in range(nb):
         for h in range(num_heads):
             q = qkv_ref[b, :, h * hd : (h + 1) * hd]
             k = qkv_ref[b, :, d + h * hd : d + (h + 1) * hd]
             v = qkv_ref[b, :, 2 * d + h * hd : 2 * d + (h + 1) * hd]
-            if fold_scale:
-                q = q * jnp.asarray(scale, q.dtype)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            if not fold_scale:
-                s = s * scale
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2((s - m) * _LOG2E)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            a_scr[b, :, h * hd : (h + 1) * hd] = (pv / l).astype(a_scr.dtype)
+            a_scr[b, :, h * hd : (h + 1) * hd] = _head_softmax_pv(
+                q, k, v, scale
+            ).astype(a_scr.dtype)
         # proj + bias + LayerScale + residual, numerics-ordered exactly like the
         # XLA path (ops/qmatmul.py::apply_linear + models/vit.py): f32 matmul
         # accumulate -> cast to compute dtype -> +bias -> *ls -> +residual
@@ -240,10 +243,9 @@ def _slab_block_forward(x, qkv, w_proj, b_proj, ls1, num_heads, scale, interpret
         interpret = jax.default_backend() != "tpu"
     b, t, three_d = qkv.shape
     d = three_d // 3
-    nb = 1
-    for cand in (2, 4):
-        if b % cand == 0 and _proj_block_cost(cand, t, d, qkv.dtype.itemsize) < _VMEM_BUDGET:
-            nb = cand
+    nb = _pick_image_blocks(
+        b, lambda nb: _proj_block_cost(nb, t, d, qkv.dtype.itemsize), _VMEM_BUDGET
+    )
 
     return pl.pallas_call(
         functools.partial(
@@ -294,7 +296,6 @@ def _slab_layer_kernel(
     o_ref, a_scr, *, num_heads, scale, d, nb, eps,
 ):
     hd = d // num_heads
-    fold_scale = _is_pow2(scale)
     for b in range(nb):
         xb = x_ref[b]  # (t, d)
         x32 = xb.astype(jnp.float32)
@@ -311,21 +312,9 @@ def _slab_layer_kernel(
             q = qkv[:, hh * hd : (hh + 1) * hd]
             k = qkv[:, d + hh * hd : d + (hh + 1) * hd]
             v = qkv[:, 2 * d + hh * hd : 2 * d + (hh + 1) * hd]
-            if fold_scale:
-                q = q * jnp.asarray(scale, q.dtype)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            if not fold_scale:
-                s = s * scale
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2((s - m) * _LOG2E)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            a_scr[b, :, hh * hd : (hh + 1) * hd] = (pv / l).astype(a_scr.dtype)
+            a_scr[b, :, hh * hd : (hh + 1) * hd] = _head_softmax_pv(
+                q, k, v, scale
+            ).astype(a_scr.dtype)
         acc = jax.lax.dot_general(
             a_scr[b], wp_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -390,14 +379,9 @@ def _slab_layer_forward(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, d = x.shape
-    nb = 1
-    for cand in (2, 4):
-        if (
-            b % cand == 0
-            and _layer_block_cost(cand, t, d, x.dtype.itemsize)
-            < _LAYER_VMEM_BUDGET
-        ):
-            nb = cand
+    nb = _pick_image_blocks(
+        b, lambda nb: _layer_block_cost(nb, t, d, x.dtype.itemsize)
+    )
 
     row = lambda v: v.reshape(1, -1).astype(jnp.float32)
     return pl.pallas_call(
@@ -559,14 +543,14 @@ def _slab_mlp_forward(
         interpret = jax.default_backend() != "tpu"
     b, t, d = x.shape
     dh = w1.shape[1]
-    nb = 1
-    for cand in (2, 4):
-        if (
-            b % cand == 0
-            and _mlp_block_cost(cand, t, d, dh, x.dtype.itemsize)
-            < _LAYER_VMEM_BUDGET
-        ):
-            nb = cand
+    if dh % d:
+        raise ValueError(
+            f"slab_mlp_block needs hidden dim {dh} divisible by {d} "
+            "(the hidden axis streams through VMEM in D-wide chunks)"
+        )
+    nb = _pick_image_blocks(
+        b, lambda nb: _mlp_block_cost(nb, t, d, dh, x.dtype.itemsize)
+    )
 
     row = lambda v: v.reshape(1, -1).astype(jnp.float32)
     return pl.pallas_call(
