@@ -38,6 +38,12 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from dinov2_tpu.utils.cache import enable_compilation_cache
+
+    # first-of-kind Pallas compiles through the tunnel can stall for many
+    # minutes; the persistent cache makes driver reruns hit warm artifacts
+    enable_compilation_cache()
+
     from dinov2_tpu.models.config import PRESETS, DinoConfig
     from dinov2_tpu.models.params import init_params
     from dinov2_tpu.models.vit import ModelOptions, forward
