@@ -54,6 +54,13 @@ class ModelOptions:
         # ggml_gelu is the tanh approximation; HF Dinov2 uses exact erf GELU.
         return self.parity == "reference"
 
+    @property
+    def gelu_activation(self) -> str:
+        """Activation name for apply_linear. Reference mode replicates ggml's
+        fp16-LUT tanh-GELU exactly — f16(gelu_tanh(f16(x))), see
+        ops/qmatmul.py::gelu_tanh_f16; HF mode is exact erf GELU."""
+        return "gelu_tanh_f16" if self.parity == "reference" else "gelu_erf"
+
 
 def layer_norm(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
     """ggml_norm + affine (dinov2.cpp:694-700): stats in f32."""
@@ -64,12 +71,11 @@ def layer_norm(x: jnp.ndarray, p: dict, eps: float) -> jnp.ndarray:
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
-def mlp_block(x: jnp.ndarray, p: dict, approximate_gelu: bool) -> jnp.ndarray:
+def mlp_block(x: jnp.ndarray, p: dict, activation: str) -> jnp.ndarray:
     """fc1 -> GELU -> fc2 (dinov2.cpp:556-575). The GELU is requested through
     apply_linear so quantized fc1 runs it in the Pallas kernel epilogue (dense
-    fc1 applies the identical jax.nn.gelu; XLA fuses it either way)."""
-    h = apply_linear(x, p["fc1"],
-                     activation="gelu_tanh" if approximate_gelu else "gelu_erf")
+    fc1 applies the identical activation; XLA fuses it either way)."""
+    h = apply_linear(x, p["fc1"], activation=activation)
     return apply_linear(h, p["fc2"])
 
 
@@ -108,11 +114,11 @@ def _attention_half_layer(
     b, t, d = x.shape
     qkv_k = layer["qkv"]["kernel"]
     proj_k = layer["proj"]["kernel"]
+    qkv_quant = hasattr(qkv_k, "ggml_type")
+    proj_quant = hasattr(proj_k, "ggml_type")
     if (
         resolve_attention_path(opts.flash_attention, t, d, x.dtype.itemsize)
         == "slab"
-        and not hasattr(qkv_k, "ggml_type")
-        and not hasattr(proj_k, "ggml_type")
         and "bias" in layer["qkv"]
         and "bias" in layer["proj"]
     ):
@@ -121,12 +127,59 @@ def _attention_half_layer(
             slab_layer_block,
         )
 
-        if fits_slab_layer(t, d, x.dtype.itemsize):
-            return slab_layer_block(
-                x, layer["norm1"]["scale"], layer["norm1"]["bias"],
-                qkv_k, layer["qkv"]["bias"], proj_k, layer["proj"]["bias"],
-                layer["ls1"], heads, 1.0 / (d // heads) ** 0.5, config.eps,
+        scale = 1.0 / (d // heads) ** 0.5
+        if not qkv_quant and not proj_quant:
+            if fits_slab_layer(t, d, x.dtype.itemsize):
+                return slab_layer_block(
+                    x, layer["norm1"]["scale"], layer["norm1"]["bias"],
+                    qkv_k, layer["qkv"]["bias"], proj_k, layer["proj"]["bias"],
+                    layer["ls1"], heads, scale, config.eps,
+                )
+        elif qkv_quant and proj_quant:
+            # Fused-quant attention half-layer, two routes (both remove the
+            # HBM attention round-trip that round 2's quant path still paid —
+            # the 1.27x fused-vs-dequant gap, VERDICT r2). Measured at ViT-B
+            # b64 q4_0 on v5e (docs/TPU_NOTES.md r3): round-2 fused 29.3 ms;
+            #   "kernel"  = in-kernel dequant-once-into-VMEM-scratch
+            #               (ops/fused_quant_attention.py)          24.3 ms
+            #   "dequant" = per-layer XLA dequant into the DENSE
+            #               half-layer kernel (transient weights)   23.6 ms
+            # The dequant route wins at batched M (the 2x ~4.7 MB transient
+            # weight round-trip is noise and the dense kernel runs nb=2); the
+            # in-kernel route wins small-M latency (weights stay packed: 1.7
+            # vs ~11 MB of weight traffic per layer). "auto" picks by M with
+            # the same 4096-row threshold as ops/qmatmul.py::quant_matmul;
+            # DINOV2_TPU_QUANT_SLAB=kernel|dequant|off forces a route.
+            import os
+
+            mode = os.environ.get("DINOV2_TPU_QUANT_SLAB", "auto")
+            from dinov2_tpu.ops.fused_quant_attention import (
+                fits_slab_layer_quant,
+                slab_layer_block_quant,
             )
+            from dinov2_tpu.ops.qmatmul import dequant_weight
+
+            kernel_fits = mode in ("auto", "kernel") and fits_slab_layer_quant(
+                t, d, x.dtype.itemsize, qkv_k, proj_k
+            )
+            dequant_fits = mode in ("auto", "dequant") and fits_slab_layer(
+                t, d, x.dtype.itemsize
+            )
+            if mode == "auto" and kernel_fits and dequant_fits:
+                kernel_fits = b * t < 4096
+            if kernel_fits:
+                return slab_layer_block_quant(
+                    x, layer["norm1"]["scale"], layer["norm1"]["bias"],
+                    qkv_k, layer["qkv"]["bias"], proj_k, layer["proj"]["bias"],
+                    layer["ls1"], heads, scale, config.eps,
+                )
+            if dequant_fits:
+                return slab_layer_block(
+                    x, layer["norm1"]["scale"], layer["norm1"]["bias"],
+                    dequant_weight(qkv_k, x.dtype).T, layer["qkv"]["bias"],
+                    dequant_weight(proj_k, x.dtype).T, layer["proj"]["bias"],
+                    layer["ls1"], heads, scale, config.eps,
+                )
     h = layer_norm(x, layer["norm1"], config.eps)
     # LayerScale + residual in the compute dtype (keeps the whole residual
     # stream fusable; ls values are O(1e-5..1), well inside bf16 range); on
@@ -155,12 +208,7 @@ def _mlp_half_layer(
     keep the unfused path with identical numerics ordering."""
     b, t, d = x.shape
     mlp = layer["mlp"]
-    if (
-        opts.fuse_mlp
-        and not config.swiglu
-        and not hasattr(mlp["fc1"]["kernel"], "ggml_type")
-        and not hasattr(mlp["fc2"]["kernel"], "ggml_type")
-    ):
+    if opts.fuse_mlp and not config.swiglu:
         from dinov2_tpu.ops.attention import resolve_attention_path
 
         if (
@@ -174,19 +222,34 @@ def _mlp_half_layer(
                 slab_mlp_block,
             )
 
-            dh = mlp["fc1"]["kernel"].shape[-1]
-            if fits_slab_mlp(t, d, dh, x.dtype.itemsize):
-                return slab_mlp_block(
-                    x, layer["norm2"]["scale"], layer["norm2"]["bias"],
-                    mlp["fc1"]["kernel"], mlp["fc1"]["bias"],
-                    mlp["fc2"]["kernel"], mlp["fc2"]["bias"],
-                    layer["ls2"], opts.gelu_approximate, config.eps,
-                )
+            fc1_k, fc2_k = mlp["fc1"]["kernel"], mlp["fc2"]["kernel"]
+            fc1_quant = hasattr(fc1_k, "ggml_type")
+            if fc1_quant != hasattr(fc2_k, "ggml_type"):
+                fc1_k = None  # mixed dense/quant MLP: no fused route
+            elif fc1_quant:
+                # VERDICT r2 item 5 (quantized MLP-fusion experiment): both
+                # weights resident in VMEM as packed codes + dequant scratch
+                # costs ~16.6 MB at ViT-B (over budget — the in-kernel variant
+                # cannot fit), so the only viable fused-quant MLP is per-layer
+                # XLA dequant into the dense kernel. Measured on v5e: see
+                # docs/TPU_NOTES.md (round 3) for the verdict.
+                from dinov2_tpu.ops.qmatmul import dequant_weight
+
+                fc1_k = dequant_weight(fc1_k, x.dtype).T
+                fc2_k = dequant_weight(fc2_k, x.dtype).T
+            if fc1_k is not None:
+                dh = fc1_k.shape[-1]
+                if fits_slab_mlp(t, d, dh, x.dtype.itemsize):
+                    return slab_mlp_block(
+                        x, layer["norm2"]["scale"], layer["norm2"]["bias"],
+                        fc1_k, mlp["fc1"]["bias"], fc2_k, mlp["fc2"]["bias"],
+                        layer["ls2"], opts.gelu_activation, config.eps,
+                    )
     h = layer_norm(x, layer["norm2"], config.eps)
     if config.swiglu:
         h = swiglu_block(h, layer["mlp"])
     else:
-        h = mlp_block(h, layer["mlp"], opts.gelu_approximate)
+        h = mlp_block(h, layer["mlp"], opts.gelu_activation)
     return x + h * layer["ls2"].astype(x.dtype)
 
 

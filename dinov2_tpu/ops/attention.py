@@ -103,7 +103,6 @@ def self_attention_block(
     proj_kernel = proj_params["kernel"]
     if (
         resolve_attention_path(flash, t, d, x_norm.dtype.itemsize) == "slab"
-        and not hasattr(proj_kernel, "ggml_type")
         and "bias" in proj_params
     ):
         from dinov2_tpu.ops.fused_attention import (
@@ -112,11 +111,26 @@ def self_attention_block(
         )
 
         if fits_slab_proj(t, d, x_norm.dtype.itemsize):
-            qkv = apply_linear(x_norm, qkv_params)
-            return slab_attention_block(
-                x_res, qkv, proj_kernel, proj_params["bias"], ls1,
-                num_heads, scale,
-            )
+            if hasattr(proj_kernel, "ggml_type"):
+                # quantized proj at shapes past the full quant half-layer
+                # kernel's VMEM budget (e.g. ViT-L): per-layer XLA dequant
+                # into the proj-fused slab kernel still beats the unfused
+                # route — the attention slab's HBM write+read (~16.8 MB at
+                # ViT-L b16) dwarfs the 2x1 MB dense-proj round-trip
+                import os
+
+                if os.environ.get("DINOV2_TPU_QUANT_SLAB", "kernel") == "off":
+                    proj_kernel = None
+                else:
+                    from dinov2_tpu.ops.qmatmul import dequant_weight
+
+                    proj_kernel = dequant_weight(proj_kernel, x_norm.dtype).T
+            if proj_kernel is not None:
+                qkv = apply_linear(x_norm, qkv_params)
+                return slab_attention_block(
+                    x_res, qkv, proj_kernel, proj_params["bias"], ls1,
+                    num_heads, scale,
+                )
     out = self_attention(x_norm, qkv_params, proj_params, num_heads, flash=flash)
     return x_res + out * ls1.astype(x_res.dtype)
 
@@ -141,13 +155,20 @@ def self_attention(
         from dinov2_tpu.ops.fused_attention import slab_attention
 
         out = slab_attention(qkv, num_heads, scale)
+    elif path == "flash" and hd % 128 == 0:
+        # transpose-free slab-consuming flash: only legal when per-head tiles
+        # satisfy Mosaic's lane-divisibility rule (hd % 128); DINOv2's hd=64
+        # takes the head-looped variant below via the standard wrapper
+        from dinov2_tpu.ops.flash_attention import flash_attention_slab
+
+        out = flash_attention_slab(qkv, num_heads, scale)
     else:
         q, k, v = split_heads(qkv, num_heads)
         if path == "flash":
             from dinov2_tpu.ops.flash_attention import flash_attention
 
             out = flash_attention(q, k, v, scale)
+            out = out.reshape(b, t, d)
         else:
-            out = vanilla_attention(q, k, v, scale)
-        out = out.reshape(b, t, d)
+            out = vanilla_attention(q, k, v, scale).reshape(b, t, d)
     return apply_linear(out, proj_params)

@@ -31,13 +31,13 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)  # avoids exp(-inf - -inf) Na
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _attn_kernel(*refs, scale, t_actual, bk, with_lse=False):
+def _attn_kernel(*refs, scale, t_actual, bk, with_lse=False, kv_axis=2):
     if with_lse:
         q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     else:
         q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
         lse_ref = None
-    kv_idx = pl.program_id(2)
+    kv_idx = pl.program_id(kv_axis)
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -74,7 +74,7 @@ def _attn_kernel(*refs, scale, t_actual, bk, with_lse=False):
     m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    @pl.when(kv_idx == pl.num_programs(kv_axis) - 1)
     def _finish():
         l = jnp.max(l_scr[...], axis=-1, keepdims=True)
         inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -200,6 +200,101 @@ def _flash_forward(q, k, v, scale, block_q=512, interpret=None, with_lse=False):
         out, lse = result
         return out[:, :t].reshape(b, h, t, hd).transpose(0, 2, 1, 3), lse
     return result[:, :t].reshape(b, h, t, hd).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Slab-consuming flash forward (round 3, the 518px feature-mode lever)
+# ---------------------------------------------------------------------------
+#
+# At T=1370 (518px feature extraction, the reference's marquee shape,
+# /root/reference/dinov2.cpp:135-156) the standard flash wrapper pays four HBM
+# transposes per layer: split_heads + three (B,T,H,hd)->(B·H,T,hd) preps and
+# the inverse on the output (~5 x 22 MB at ViT-L b8). This variant reads the
+# (B, T, 3D) fused-qkv slab DIRECTLY — the per-(head, block) q/k/v tiles are
+# just BlockSpec index maps into the slab (feature offset h·hd is block index
+# h at width hd), and the output tiles write straight into a (B, T, D) slab.
+# Zero layout changes in HBM; the kernel body is the identical _attn_kernel.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def flash_attention_slab(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    scale: float,
+    block_q: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """(B, T, 3D) fused-qkv slab -> (B, T, D), transpose-free flash attention.
+
+    Numerics identical to flash_attention (same kernel body). Differentiable:
+    the VJP re-splits heads and runs the FA-2 backward kernels."""
+    return _flash_slab_forward(qkv, num_heads, scale, block_q, interpret)
+
+
+def _flash_slab_forward(qkv, num_heads, scale, block_q=512, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // num_heads
+    bq, bk, tp = _pick_blocks(t, hd, block_q)
+    if tp != t:
+        qkv = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
+
+    h = num_heads
+    in_specs = [
+        pl.BlockSpec((1, bq, hd), lambda i, hh, j, r: (i, j, hh), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, hd), lambda i, hh, j, r: (i, r, h + hh), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, hd), lambda i, hh, j, r: (i, r, 2 * h + hh), memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel, scale=scale, t_actual=t, bk=bk, kv_axis=3
+        ),
+        grid=(b, h, tp // bq, tp // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, bq, hd), lambda i, hh, j, r: (i, j, hh), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, hd), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tp * tp * hd,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=b * h * tp * tp,
+        ),
+    )(qkv, qkv, qkv)
+    return out[:, :t] if tp != t else out
+
+
+def _flash_slab_fwd(qkv, num_heads, scale, block_q, interpret):
+    return _flash_slab_forward(qkv, num_heads, scale, block_q, interpret), (qkv,)
+
+
+def _flash_slab_bwd(num_heads, scale, block_q, interpret, residuals, g):
+    (qkv,) = residuals
+    b, t, three_d = qkv.shape
+    d = three_d // 3
+
+    def f(s):
+        from dinov2_tpu.ops.attention import split_heads
+
+        q, k, v = split_heads(s, num_heads)
+        return flash_attention(q, k, v, scale, block_q, interpret).reshape(b, t, d)
+
+    _, vjp = jax.vjp(f, qkv)
+    return vjp(g)
+
+
+flash_attention_slab.defvjp(_flash_slab_fwd, _flash_slab_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -79,11 +79,22 @@ def _head_softmax_pv(q, k, v, scale) -> jnp.ndarray:
 
 def _pick_image_blocks(b: int, cost_fn, budget: int | None = None) -> int:
     """Images per grid cell: bigger blocks amortize per-cell DMA setup,
-    subject to the kernel's VMEM cost model."""
-    budget = _LAYER_VMEM_BUDGET if budget is None else budget
+    subject to the kernel's VMEM cost model.
+
+    Candidates up to 16 (round 3: at ViT-S the d=384 cost model admits nb=8;
+    measured on v5e — see docs/TPU_NOTES.md). Env overrides for experiments:
+    DINOV2_TPU_SLAB_NB caps nb, DINOV2_TPU_SLAB_VMEM replaces the budget."""
+    import os
+
+    env_budget = os.environ.get("DINOV2_TPU_SLAB_VMEM")
+    if env_budget:
+        budget = int(env_budget)
+    elif budget is None:
+        budget = _LAYER_VMEM_BUDGET
+    cap = int(os.environ.get("DINOV2_TPU_SLAB_NB", "16"))
     nb = 1
-    for cand in (2, 4):
-        if b % cand == 0 and cost_fn(cand) < budget:
+    for cand in (2, 4, 8, 16):
+        if cand <= cap and b % cand == 0 and cost_fn(cand) < budget:
             nb = cand
     return nb
 
@@ -428,8 +439,11 @@ def _slab_layer_reference(
     mu = x32.mean(axis=-1, keepdims=True)
     var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
     h = ((x32 - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(x.dtype)
-    qkv = jnp.dot(h, w_qkv.astype(h.dtype), preferred_element_type=h.dtype)
-    qkv = qkv + b_qkv.astype(h.dtype)
+    # f32 accumulate then cast, matching the kernel's ordering on ALL backends
+    # (on CPU-interpret a compute-dtype preferred_element_type would accumulate
+    # in bf16, diverging the recompute-VJP from the kernel forward)
+    qkv = jnp.dot(h, w_qkv.astype(h.dtype), preferred_element_type=jnp.float32)
+    qkv = qkv.astype(h.dtype) + b_qkv.astype(h.dtype)
     return _slab_block_reference(x, qkv, w_proj, b_proj, ls1, num_heads, scale)
 
 
@@ -467,6 +481,33 @@ slab_layer_block.defvjp(_slab_layer_fwd, _slab_layer_bwd)
 # (fetched once per pallas_call).
 
 
+def _norm_mlp_activation(activation) -> str:
+    """Accept the legacy bool (True=tanh approx) or an activation name
+    ("gelu_tanh" | "gelu_erf" | "gelu_tanh_f16" — the ggml fp16-LUT parity
+    variant, ops/qmatmul.py::gelu_tanh_f16)."""
+    if activation is True:
+        return "gelu_tanh"
+    if activation is False:
+        return "gelu_erf"
+    return activation
+
+
+def _mlp_act(y: jnp.ndarray, activation: str) -> jnp.ndarray:
+    if activation == "gelu_tanh":
+        return jax.nn.gelu(y, approximate=True)
+    if activation == "gelu_erf":
+        return jax.nn.gelu(y, approximate=False)
+    if activation == "gelu_tanh_f16":
+        from dinov2_tpu.ops.qmatmul import gelu_tanh_f16
+
+        return gelu_tanh_f16(y)
+    if activation == "gelu_tanh_f16_veltkamp":
+        from dinov2_tpu.ops.qmatmul import gelu_tanh_f16_veltkamp
+
+        return gelu_tanh_f16_veltkamp(y)
+    raise ValueError(f"unknown activation {activation!r}")
+
+
 def _slab_mlp_kernel(
     x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
     o_ref, *, d, dh, nb, eps, approximate_gelu,
@@ -486,7 +527,7 @@ def _slab_mlp_kernel(
                 preferred_element_type=jnp.float32,
             )
             g = a1.astype(xb.dtype) + b1_ref[:, c * d : (c + 1) * d].astype(xb.dtype)
-            g = jax.nn.gelu(g, approximate=approximate_gelu)
+            g = _mlp_act(g, approximate_gelu)
             acc = acc + jax.lax.dot_general(
                 g, w2_ref[c * d : (c + 1) * d, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -541,6 +582,9 @@ def _slab_mlp_forward(
 ):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    approximate_gelu = _norm_mlp_activation(approximate_gelu)
+    if approximate_gelu == "gelu_tanh_f16" and not interpret:
+        approximate_gelu = "gelu_tanh_f16_veltkamp"  # Mosaic has no f16 casts
     b, t, d = x.shape
     dh = w1.shape[1]
     if dh % d:
@@ -595,8 +639,12 @@ def _slab_mlp_reference(
     mu = x32.mean(axis=-1, keepdims=True)
     var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
     h = ((x32 - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(x.dtype)
-    a1 = jnp.dot(h, w1.astype(h.dtype), preferred_element_type=h.dtype)
-    g = jax.nn.gelu(a1 + b1.astype(h.dtype), approximate=approximate_gelu)
+    # f32 accumulate then cast (kernel-ordering match on non-TPU backends too)
+    a1 = jnp.dot(h, w1.astype(h.dtype), preferred_element_type=jnp.float32)
+    g = _mlp_act(
+        a1.astype(h.dtype) + b1.astype(h.dtype),
+        _norm_mlp_activation(approximate_gelu),
+    )
     y = jnp.dot(g, w2.astype(h.dtype), preferred_element_type=jnp.float32)
     y = y.astype(x.dtype) + b2.astype(x.dtype)
     return x + y * ls2.astype(x.dtype)
@@ -650,9 +698,46 @@ def _slab_fwd(qkv, num_heads, scale, interpret):
     return _slab_forward(qkv, num_heads, scale, interpret), (qkv,)
 
 
+# Backward-path routing (VERDICT r2 item 10): below this token count the
+# recompute-vanilla VJP is used (its (T, T) HBM intermediates are cheap and
+# its grads are bit-comparable to the reference math); at or above it the
+# recompute goes through flash_attention, whose custom VJP runs the dedicated
+# FA-2 Pallas backward kernels (ops/flash_attention.py) — no (B, H, T, T)
+# scores in HBM. Crossover measured on v5e (docs/TPU_NOTES.md round 3);
+# override with DINOV2_TPU_SLAB_BWD=vanilla|flash for experiments.
+_SLAB_BWD_FLASH_MIN_T = 512
+
+
+def _slab_bwd_fn(num_heads: int, scale: float, t: int, interpret):
+    import os
+
+    mode = os.environ.get("DINOV2_TPU_SLAB_BWD")
+    use_flash = (
+        mode == "flash"
+        if mode in ("flash", "vanilla")
+        else (
+            t >= _SLAB_BWD_FLASH_MIN_T
+            and not interpret
+            and jax.default_backend() == "tpu"
+        )
+    )
+    if not use_flash:
+        return lambda s: _slab_reference(s, num_heads, scale)
+    from dinov2_tpu.ops.flash_attention import flash_attention
+
+    def f(s):
+        from dinov2_tpu.ops.attention import split_heads
+
+        b, tt, three_d = s.shape
+        q, k, v = split_heads(s, num_heads)
+        return flash_attention(q, k, v, scale).reshape(b, tt, three_d // 3)
+
+    return f
+
+
 def _slab_bwd(num_heads, scale, interpret, residuals, g):
     (qkv,) = residuals
-    _, vjp = jax.vjp(lambda s: _slab_reference(s, num_heads, scale), qkv)
+    _, vjp = jax.vjp(_slab_bwd_fn(num_heads, scale, qkv.shape[1], interpret), qkv)
     return vjp(g)
 
 

@@ -74,6 +74,16 @@ def _epilogue(acc: jnp.ndarray, b_ref, activation: str | None, out_dtype):
         y = jax.nn.gelu(y, approximate=True)
     elif activation == "gelu_erf":
         y = jax.nn.gelu(y, approximate=False)
+    elif activation == "gelu_tanh_f16":
+        # interpret mode only (real f16 casts); on TPU quant_matmul_pallas
+        # rewrites this to the Veltkamp emulation (Mosaic has no f16 casts)
+        from dinov2_tpu.ops.qmatmul import gelu_tanh_f16
+
+        y = gelu_tanh_f16(y)
+    elif activation == "gelu_tanh_f16_veltkamp":
+        from dinov2_tpu.ops.qmatmul import gelu_tanh_f16_veltkamp
+
+        y = gelu_tanh_f16_veltkamp(y)
     elif activation is not None:
         raise ValueError(f"unknown activation {activation!r}")
     return y
@@ -167,8 +177,9 @@ def _expand_scales_plane(d: jnp.ndarray, k2: int, offset: int) -> jnp.ndarray:
 _QH_LANES = 8  # lanes per 5th-bit word (u8 — exact in bf16, see params.py)
 
 
-def _fifth_bits(qh_ref, k2: int) -> jnp.ndarray:
-    """(bn, K/16) uint8 5th-bit words -> (bn, K/2) f32 0/1 bit per lane.
+def _fifth_bits(qh, k2: int) -> jnp.ndarray:
+    """(bn, K/16) uint8 5th-bit words (ref or array) -> (bn, K/2) f32 0/1 bit
+    per lane.
 
     Words are per-plane natural order (one u8 per 8 consecutive lanes,
     models/params.py::_natural_plane_words). A u8 word (≤ 255) is EXACT in
@@ -177,13 +188,13 @@ def _fifth_bits(qh_ref, k2: int) -> jnp.ndarray:
     on the bf16-native MXU), which dominated the q5 fused-path cost. The
     per-lane bit is then floor(word * 2^-(lane%8)) mod 2 — pure f32 VPU ops,
     no variable integer shifts for Mosaic to choke on."""
-    bn, nw = qh_ref.shape
+    bn, nw = qh.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (nw, k2), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nw, k2), 1)
     e = (cols // _QH_LANES == rows).astype(jnp.float32)
     # Mosaic has no u8->f32 cast; hop through int32 (values <= 255, exact)
     words = jax.lax.dot_general(
-        qh_ref[:].astype(jnp.int32).astype(jnp.float32), e, (((1,), (0,)), ((), ())),
+        qh[:].astype(jnp.int32).astype(jnp.float32), e, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bn, k2)
     shift = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1) % _QH_LANES
@@ -291,6 +302,8 @@ def quant_matmul_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if activation == "gelu_tanh_f16" and not interpret:
+        activation = "gelu_tanh_f16_veltkamp"  # Mosaic has no f16 casts
 
     # dims from the ARRAYS, not the static ql.shape aux: under shard_map the
     # leaves are per-device shards while the aux still carries the global shape

@@ -57,11 +57,45 @@ def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
     return w.reshape(out_dim, in_dim).astype(dtype)
 
 
+def gelu_tanh_f16(y: jnp.ndarray) -> jnp.ndarray:
+    """ggml_gelu bit-parity: ggml evaluates tanh-GELU through an fp16 lookup
+    table (vendored runtime, consumed at /root/reference/dinov2.cpp:566) —
+    table[i] = f16(gelu_tanh_f32(f16_frombits(i))). Semantically that is
+    f16(gelu_tanh(f16(x))): two cheap casts around the f32 op (they fuse into
+    the elementwise chain under XLA). Closes the last ~1e-3/activation gap to
+    the reference in parity="reference" mode (docs/PARITY.md)."""
+    y16 = y.astype(jnp.float16)
+    g = jax.nn.gelu(y16.astype(jnp.float32), approximate=True)
+    return g.astype(jnp.float16).astype(y.dtype)
+
+
+def gelu_tanh_f16_veltkamp(y: jnp.ndarray) -> jnp.ndarray:
+    """Mosaic-safe emulation of gelu_tanh_f16 for Pallas kernel epilogues: the
+    v5e Mosaic compiler has NO f16 casts (bf16->f16 raises NotImplementedError,
+    f32->f16 crashes the remote compiler), so kernels round to the f16 grid
+    with Veltkamp splits instead — c = v*(2^13+1); c - (c - v) is v rounded to
+    24-13 = 11 significand bits, exactly f16's significand. Identical to the
+    real-cast version everywhere except the f16-SUBNORMAL band (|v| < 6.1e-5,
+    absolute deviation < ~3e-8) and round-to-even corner ties — both invisible
+    at bf16 compute precision. Input rounding f16(x) is exact for bf16 inputs
+    (8 significand bits <= 11) and Veltkamp-approximated for f32 inputs."""
+
+    def round11(v):
+        c = v * 8193.0
+        return c - (c - v)
+
+    v = round11(y.astype(jnp.float32))
+    g = jax.nn.gelu(v, approximate=True)
+    return round11(g).astype(y.dtype)
+
+
 def _apply_activation(y: jnp.ndarray, activation: str | None) -> jnp.ndarray:
     if activation == "gelu_tanh":
         return jax.nn.gelu(y, approximate=True)
     if activation == "gelu_erf":
         return jax.nn.gelu(y, approximate=False)
+    if activation == "gelu_tanh_f16":
+        return gelu_tanh_f16(y)
     if activation is not None:
         raise ValueError(f"unknown activation {activation!r}")
     return y
@@ -76,8 +110,35 @@ def quant_matmul(
 ) -> jnp.ndarray:
     """y = x @ W^T (+ bias, + activation) where W is a (out, in) QuantLinear.
     THE quantized-matmul dispatch point: Pallas fused kernel (bias/activation
-    in the epilogue) when available, else XLA dequant-then-matmul."""
-    if _resolve_backend(backend) == "pallas":
+    in the epilogue) when available, else XLA dequant-then-matmul.
+
+    Large-M exception (round 3, measured on v5e): the fused kernel's grid
+    re-reads the (M, K) activation tile once per N-block (the price of the
+    dequant-once-at-m==0 trick), so at batched shapes per-call XLA dequant +
+    dense matmul is strictly cheaper — the transient dense weight costs one
+    ~5-10 MB HBM round-trip vs ~25 MB x M-tile re-reads per extra N-block
+    (whole-model A/B at ViT-B b64 fused q4_0: 26.6 -> 24.3 ms, TPU_NOTES r3).
+    Worst case is q5-packed at k >= 3072 where Mosaic caps bn=128 (~600
+    MB/layer re-read). Small-M latency calls keep the fused kernel (weights
+    stay packed end-to-end, no transient). An explicit backend (argument or
+    DINOV2_TPU_QUANT_BACKEND) disables the heuristic."""
+    m_rows = 1
+    for s in x.shape[:-1]:
+        m_rows *= s
+    # k from the ARRAY (shard_map passes per-device shards; static ql.shape
+    # still holds the global dims)
+    k_in = ql.codes.shape[-1] * (2 if getattr(ql, "packed", False) else 1)
+    q5_capped = (
+        getattr(ql, "packed", False)
+        and getattr(ql, "qh_lo", None) is not None
+        and k_in >= 3072
+        and m_rows >= 1024
+    )
+    forced = backend != "auto" or os.environ.get("DINOV2_TPU_QUANT_BACKEND") in (
+        "pallas", "xla",
+    )
+    prefer_xla = not forced and (m_rows >= 4096 or q5_capped)
+    if _resolve_backend(backend) == "pallas" and not prefer_xla:
         try:
             from dinov2_tpu.ops.pallas_qmatmul import quant_matmul_pallas
         except (ImportError, NotImplementedError):

@@ -47,6 +47,14 @@ def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
     need = int(np.prod(shape))
     if need > len(devices):
         raise ValueError(f"mesh {axes} needs {need} devices, have {len(devices)}")
+    if need < len(devices):
+        # a prefix subset is intentional for debug meshes, but a mistyped
+        # --mesh would otherwise silently idle most of the hardware
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mesh %s uses %d of %d available devices", axes, need, len(devices)
+        )
     dev_array = np.array(devices[:need]).reshape(shape)
     return Mesh(dev_array, names)
 

@@ -164,6 +164,25 @@ def tp_prepare_params(
 
     for name in ("qkv", "proj"):
         check_quant(name)
+    # the MLP kernels must be quantized too, and the row-split ones must split
+    # at 32-block boundaries — raise ValueError HERE (not AttributeError later
+    # in _to_soa/shard_map placement) so DinoEngine's fallback-to-dequant fires
+    mlp_names = (
+        ("win", "wout") if "win" in params["layers"]["mlp"] else ("fc1", "fc2")
+    )
+    for name in mlp_names:
+        if not hasattr(params["layers"]["mlp"][name]["kernel"], "ggml_type"):
+            raise ValueError(f"tp_fused expects quantized mlp.{name}")
+
+    def check_row_split(name, ql):
+        in_dim = ql.shape[1]
+        if in_dim % (tp * 32):
+            raise ValueError(
+                f"{name} in-dim {in_dim} does not split at 32-block "
+                f"boundaries over tp={tp}"
+            )
+
+    check_row_split(mlp_names[1], params["layers"]["mlp"][mlp_names[1]]["kernel"])
 
     layers["qkv"] = _permute_linear(layers["qkv"], _section_perm(3 * d_model, 3, tp))
     proj = dict(layers["proj"])
@@ -270,10 +289,7 @@ def _tp_encoder_layer(x, layer, config, opts, axis):
         if "bias" in mlp["wout"]:
             y = y + mlp["wout"]["bias"].astype(y.dtype)
     else:
-        hh = apply_linear(
-            h, mlp["fc1"],
-            activation="gelu_tanh" if opts.gelu_approximate else "gelu_erf",
-        )
+        hh = apply_linear(h, mlp["fc1"], activation=opts.gelu_activation)
         part = apply_linear(hh, {"kernel": mlp["fc2"]["kernel"]})
         y = jax.lax.psum(part, axis)
         if "bias" in mlp["fc2"]:

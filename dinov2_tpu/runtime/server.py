@@ -8,6 +8,9 @@ of TPU inference is batch amortization), in front of DinoEngine.
 Endpoints:
   POST /classify   body: raw image bytes (jpg/png)   -> {"topk": [[label, p], ...]}
   POST /features   body: raw image bytes             -> {"cls_token": [...], "grid": [h, w]}
+  POST /pca        body: raw image bytes             -> PNG bytes (the uint8 PCA
+                   visualization — the reference feature mode's actual product,
+                   /root/reference/inference.cpp:76-99, over HTTP)
   GET  /healthz                                      -> {"ok": true, "model": {...}}
 
 Batching: requests arriving within `max_wait_ms` (or until `max_batch`) are run
@@ -90,8 +93,19 @@ class BatchingServer:
                 else:
                     self._reply(404, {"error": "not found"})
 
+            def _reply_png(self, data: bytes):
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
             def do_POST(self):
-                mode = {"/classify": "classify", "/features": "features"}.get(self.path)
+                mode = {
+                    "/classify": "classify",
+                    "/features": "features",
+                    "/pca": "pca",
+                }.get(self.path)
                 if mode is None:
                     self._reply(404, {"error": "not found"})
                     return
@@ -115,6 +129,8 @@ class BatchingServer:
                     self._reply(504, {"error": "inference timed out"})
                 elif pending.error:
                     self._reply(500, {"error": pending.error})
+                elif isinstance(pending.result, bytes):
+                    self._reply_png(pending.result)
                 else:
                     self._reply(200, pending.result)
 
@@ -154,6 +170,18 @@ class BatchingServer:
                     )
                     for p, r in zip(items, results):
                         p.result = {"topk": [[label, prob] for label, prob in r]}
+                elif mode == "pca":
+                    # engine groups same-size frames into one fused
+                    # preprocess+forward+vmapped-PCA program per size
+                    import cv2
+
+                    for p, vis in zip(
+                        items, self.engine.pca_visualizations([p.image for p in items])
+                    ):
+                        ok, png = cv2.imencode(".png", cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
+                        if not ok:
+                            raise ValueError("png encode failed")
+                        p.result = png.tobytes()
                 else:
                     # one batched forward per (H, W) shape group — mixed sizes
                     # can't share a program (the patch grid is shape-defining)

@@ -26,6 +26,15 @@ def enable_compilation_cache() -> None:
             "DINOV2_TPU_CACHE_DIR",
             str(Path.home() / ".cache" / "dinov2_tpu" / "jax"),
         )
+        # Scope the cache per platform+device profile: AOT artifacts compiled
+        # for a TPU host do not load on a CPU-only dryrun (cpu_aot_loader
+        # errors spammed every multichip log in round 2) and vice versa.
+        try:
+            dev = jax.devices()[0]
+            fingerprint = f"{dev.platform}-{dev.device_kind}".replace(" ", "_")
+        except Exception:
+            fingerprint = jax.default_backend()
+        cache_dir = str(Path(cache_dir) / fingerprint)
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

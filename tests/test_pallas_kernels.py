@@ -349,3 +349,184 @@ def test_slab_mlp_block_matches_unfused(rng):
     grads = jax.grad(loss, argnums=(0, 1, 2))(x, w1, w2)
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+# ---------------------------------------------------------------------------
+# fused-QUANT attention half-layer (ops/fused_quant_attention.py)
+# ---------------------------------------------------------------------------
+
+
+def _make_ql_any(rng, n, k, t, packed):
+    from dinov2_tpu.io.gguf import GGUFTensor
+    from dinov2_tpu.models.params import _soa_from_blocks
+
+    w = (rng.standard_normal((n, k)) * 0.5).astype(np.float32)
+    raw = quantize(w, t)
+    if packed:
+        return _soa_from_blocks(GGUFTensor("w", (n, k), t, raw))
+    return _make_ql(rng, n, k, t)
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+                               GGMLType.Q5_1, GGMLType.Q8_0])
+def test_quant_layer_kernel_matches_dequant_reference(t, rng):
+    """The fused-quant half-layer kernel (in-kernel dequant-once-into-scratch)
+    must match the dense half-layer reference run on dequantized weights —
+    all five ggml formats, packed layouts where they exist."""
+    from dinov2_tpu.ops.fused_quant_attention import (
+        fits_slab_layer_quant,
+        quant_layer_reference,
+        slab_layer_block_quant,
+    )
+
+    b, tt, heads, d = 2, 37, 4, 64
+    packed = t != GGMLType.Q8_0
+    qkv_ql = _make_ql_any(rng, 3 * d, d, t, packed)
+    proj_ql = _make_ql_any(rng, d, d, t, packed)
+    assert fits_slab_layer_quant(tt, d, 4, qkv_ql, proj_ql)
+
+    x = jnp.asarray(rng.standard_normal((b, tt, d)), jnp.float32)
+    lns = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    bq = jnp.asarray(rng.standard_normal(3 * d) * 0.1, jnp.float32)
+    bp = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.1, 1.0, d), jnp.float32)
+    scale = 1.0 / (d // heads) ** 0.5
+
+    got = np.asarray(
+        slab_layer_block_quant(
+            x, lns, lnb, qkv_ql, bq, proj_ql, bp, ls, heads, scale, 1e-6, True
+        )
+    )
+    want = np.asarray(
+        quant_layer_reference(
+            x, lns, lnb, qkv_ql, bq, proj_ql, bp, ls, heads, scale, 1e-6
+        )
+    )
+    # the kernel contracts (t,d)x(out,in) on dim 1 while the reference runs
+    # x @ W: same math, different f32 reduction order -> ~1e-5 reassociation
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_quant_layer_kernel_multi_image_blocks(rng):
+    """nb>1 grid: the cell-0 dequant must serve every later grid cell."""
+    from dinov2_tpu.ops.fused_quant_attention import (
+        _pick_image_blocks,
+        _ql_meta,
+        _quant_layer_cost,
+        quant_layer_reference,
+        slab_layer_block_quant,
+    )
+
+    b, tt, heads, d = 4, 32, 2, 64
+    qkv_ql = _make_ql_any(rng, 3 * d, d, GGMLType.Q4_0, True)
+    proj_ql = _make_ql_any(rng, d, d, GGMLType.Q4_0, True)
+    nb = _pick_image_blocks(
+        b,
+        lambda nb: _quant_layer_cost(nb, tt, d, 4, _ql_meta(qkv_ql), _ql_meta(proj_ql)),
+    )
+    assert nb > 1
+
+    x = jnp.asarray(rng.standard_normal((b, tt, d)), jnp.float32)
+    lns = jnp.ones(d, jnp.float32)
+    lnb = jnp.zeros(d, jnp.float32)
+    bq = jnp.asarray(rng.standard_normal(3 * d) * 0.1, jnp.float32)
+    bp = jnp.zeros(d, jnp.float32)
+    ls = jnp.ones(d, jnp.float32)
+    got = np.asarray(
+        slab_layer_block_quant(
+            x, lns, lnb, qkv_ql, bq, proj_ql, bp, ls, heads, 0.125, 1e-6, True
+        )
+    )
+    want = np.asarray(
+        quant_layer_reference(
+            x, lns, lnb, qkv_ql, bq, proj_ql, bp, ls, heads, 0.125, 1e-6
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_quant_model_slab_routing_matches_xla(rng, tmp_path, monkeypatch):
+    """Full fused-quant forward with the slab route (interpreted kernels) vs
+    the XLA dequant-then-matmul path: the routing in models/vit.py must hand
+    the quantized layers to slab_layer_block_quant without changing results."""
+    import jax
+
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.config import DinoConfig
+    from dinov2_tpu.models.params import load_params
+    from dinov2_tpu.models.vit import ModelOptions, forward
+    from dinov2_tpu.quant.quantize import quantize_gguf
+
+    config = DinoConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+                        num_classes=4, patch_size=14, img_size=70)
+    src = tmp_path / "m.gguf"
+    dst = tmp_path / "m.q4_0.gguf"
+    write_synthetic_gguf(src, config, seed=7)
+    quantize_gguf(src, dst, GGMLType.Q4_0)
+
+    loaded = load_params(dst, dtype=jnp.float32, quant_mode="fused")
+    x = jnp.asarray(rng.standard_normal((2, 70, 70, 3)), jnp.float32)
+
+    opts_slab = ModelOptions(parity="hf", flash_attention="slab",
+                             compute_dtype=jnp.float32)
+    opts_van = ModelOptions(parity="hf", flash_attention=False,
+                            compute_dtype=jnp.float32)
+    monkeypatch.setenv("DINOV2_TPU_QUANT_BACKEND", "xla")
+    want = forward(loaded.params, x, loaded.config, opts_van, classify=True)
+    got = forward(loaded.params, x, loaded.config, opts_slab, classify=True)
+    for key in ("cls_token", "probs"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), rtol=5e-5, atol=5e-5
+        )
+
+
+def test_slab_backward_flash_route_matches_vanilla(rng, monkeypatch):
+    """The slab VJP's flash route (FA-2 Pallas backward kernels) must produce
+    the same gradients as the recompute-vanilla route."""
+    import jax
+
+    from dinov2_tpu.ops.fused_attention import slab_attention
+
+    qkv = jnp.asarray(rng.standard_normal((1, 130, 3 * 128)), jnp.float32)
+
+    def loss(s):
+        return jnp.sum(slab_attention(s, 4, 1.0 / (32**0.5), True) ** 2)
+
+    monkeypatch.setenv("DINOV2_TPU_SLAB_BWD", "vanilla")
+    g_van = np.asarray(jax.grad(loss)(qkv))
+    monkeypatch.setenv("DINOV2_TPU_SLAB_BWD", "flash")
+    g_fla = np.asarray(jax.grad(loss)(qkv))
+    np.testing.assert_allclose(g_fla, g_van, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("t,heads,d", [(257, 12, 768), (300, 4, 256)])
+def test_flash_slab_matches_vanilla(t, heads, d, rng):
+    """Slab-consuming flash wrapper (per-head BlockSpec index maps into the
+    (B, T, 3D) slab, no HBM transposes) must match the vanilla reference."""
+    from dinov2_tpu.ops.fused_attention import _slab_reference
+    from dinov2_tpu.ops.flash_attention import flash_attention_slab
+
+    b = 2
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * d)), jnp.float32)
+    scale = 1.0 / (d // heads) ** 0.5
+    want = np.asarray(_slab_reference(qkv, heads, scale))
+    got = np.asarray(
+        flash_attention_slab(qkv, heads, scale, 128, True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_flash_slab_grad_matches_reference(rng):
+    import jax
+
+    from dinov2_tpu.ops.fused_attention import _slab_reference
+    from dinov2_tpu.ops.flash_attention import flash_attention_slab
+
+    qkv = jnp.asarray(rng.standard_normal((1, 130, 3 * 128)), jnp.float32)
+    scale = 1.0 / (32**0.5)
+    g1 = jax.grad(
+        lambda s: jnp.sum(flash_attention_slab(s, 4, scale, 128, True) ** 2)
+    )(qkv)
+    g2 = jax.grad(lambda s: jnp.sum(_slab_reference(s, 4, scale) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)

@@ -72,6 +72,23 @@ def test_features_endpoint(server, rng):
     assert out["grid"] == [96 // 14 + 1, 128 // 14 + 1]
 
 
+def test_pca_endpoint_returns_png(server, rng):
+    """VERDICT r2 item 9: /pca serves the reference feature mode's actual
+    product (the uint8 PCA visualization, /root/reference/inference.cpp:76-99)
+    as PNG bytes at the preprocessed size (one extra patch per axis, Q4)."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/pca", data=_jpg(rng, 96, 128), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert resp.headers["Content-Type"] == "image/png"
+        png = resp.read()
+    img = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
+    assert img is not None
+    gh, gw = 96 // 14 + 1, 128 // 14 + 1
+    assert img.shape == (gh * 14, gw * 14, 3)
+    assert img.dtype == np.uint8
+
+
 def test_concurrent_requests_batch(server, rng):
     results = [None] * 6
     errors = []

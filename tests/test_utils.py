@@ -51,3 +51,40 @@ def test_timer_and_time_blocked():
     with t.measure(jnp.ones(4)):
         _ = jnp.ones(4) + 1
     assert t.elapsed_ms >= 0
+
+
+def test_gelu_tanh_f16_lut_semantics():
+    """parity="reference" GELU replicates ggml's fp16 lookup table (consumed at
+    /root/reference/dinov2.cpp:566): table[i] = f16(gelu_tanh_f32(f16(x))).
+    The emulation must (a) quantize its OUTPUT to the f16 grid, (b) depend only
+    on the f16 rounding of its INPUT, and (c) track the f32 tanh-GELU of the
+    f16 input to f16 rounding."""
+    from dinov2_tpu.ops.qmatmul import gelu_tanh_f16
+
+    x = np.linspace(-8.0, 8.0, 4097, dtype=np.float32)
+    got = np.asarray(gelu_tanh_f16(jnp.asarray(x)))
+    # (a) every output is exactly representable in f16
+    np.testing.assert_array_equal(got, got.astype(np.float16).astype(np.float32))
+    # (b) inputs that round to the same f16 value produce identical outputs
+    x16 = x.astype(np.float16).astype(np.float32)
+    nudged = np.asarray(gelu_tanh_f16(jnp.asarray(x16)))
+    np.testing.assert_array_equal(got, nudged)
+    # (c) matches the table value within one f16 ulp. Oracle in f64 then
+    # rounded: numpy's f32 tanh is NOT correctly rounded in the saturated
+    # tail (tanhf(-10) != -1), XLA's is.
+    x64 = x16.astype(np.float64)
+    c = np.sqrt(2.0 / np.pi)
+    want = 0.5 * x64 * (1.0 + np.tanh(c * (x64 + 0.044715 * x64**3)))
+    want16 = want.astype(np.float16)
+    ulp = np.spacing(np.abs(want16)).astype(np.float32)
+    diff = np.abs(got.astype(np.float32) - want16.astype(np.float32))
+    # XLA's tanh saturates to ±1 a hair earlier than libm, flushing the
+    # f16-subnormal GELU tail (|x| ≳ 5) to ±0 — allow the sub-microscopic tail
+    assert np.all((diff <= ulp) | (diff <= 1e-6))
+
+
+def test_model_options_gelu_activation():
+    from dinov2_tpu.models.vit import ModelOptions
+
+    assert ModelOptions(parity="reference").gelu_activation == "gelu_tanh_f16"
+    assert ModelOptions(parity="hf").gelu_activation == "gelu_erf"
