@@ -29,8 +29,14 @@ def enable_compilation_cache() -> None:
         # Scope the cache per platform+device profile: AOT artifacts compiled
         # for a TPU host do not load on a CPU-only dryrun (cpu_aot_loader
         # errors spammed every multichip log in round 2) and vice versa.
+        # XLA:CPU AOT results are additionally machine-feature-pinned (they
+        # fail to load across hosts, and even tuning-flag drift on the SAME
+        # host trips the loader), so the CPU backend skips persistence
+        # entirely — its compiles are cheap and the dryrun is throwaway.
         try:
             dev = jax.devices()[0]
+            if dev.platform == "cpu" and not os.environ.get("DINOV2_TPU_CACHE_CPU"):
+                return
             fingerprint = f"{dev.platform}-{dev.device_kind}".replace(" ", "_")
         except Exception:
             fingerprint = jax.default_backend()
