@@ -88,15 +88,44 @@ def _attn_kernel(*refs, scale, t_actual, bk, with_lse=False, kv_axis=2):
             lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
+def _attn_kernel_1kv(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, nh):
+    """Single-KV-block specialization: when one KV block covers the whole
+    (padded) sequence there is no online rescaling — no running m/l scratch,
+    no alpha, no init/finish phases. The flash kernel is VPU-bound at hd=64
+    (~10 elementwise passes per score element vs 2.6 ps of MXU work, round-3
+    sweep: 13-15% MFU at T=1370); this shares the MXU-augmented core
+    (fused_attention._head_softmax_pv): the pad mask rides the scores
+    contraction as `bias_ref` ((tp, 1), -BIG at padded keys), the normalizer
+    rides the PV matmul — 5 (t, t) VPU passes total. `nh` heads per grid
+    cell (unrolled) lets Mosaic interleave one head's VPU softmax chain with
+    the next head's MXU matmuls — one head per cell leaves the two units
+    strictly serialized by data dependence."""
+    from dinov2_tpu.ops.fused_attention import _head_softmax_pv
+
+    for hh in range(nh):
+        o_ref[hh] = _head_softmax_pv(
+            q_ref[hh], k_ref[hh], v_ref[hh], scale, bias_ref[...]
+        ).astype(o_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_blocks(t: int, hd: int, block_q: int) -> tuple[int, int, int]:
+def _pick_blocks(
+    t: int, hd: int, block_q: int, lse: bool = False
+) -> tuple[int, int, int]:
     """Choose (bq, bk, tp) with the grid invariant tp % bq == tp % bk == 0
     (violating it silently drops Q blocks -> garbage output rows) and the f32
-    scores tile + K/V tiles inside the VMEM budget. bq is a power of two; bk is
-    a multiple of bq."""
+    scores tile + K/V tiles inside the VMEM budget. bk is a multiple of bq.
+
+    Candidates are powers of two PLUS exact divisors of the lane-rounded T
+    (round 3): at T=1370 the pow2 picker lands bq=128 -> 1408 grid cells/call
+    whose ~1.1 µs/cell VPU+DMA overhead dwarfs the 0.47 µs of MXU work (the
+    core measured 13.6% MFU); bq=704 divides tp=1408 exactly — 4.5x fewer
+    cells, zero extra padding. `lse=True` (training: the logsumexp output
+    rides (1, 8, bq) blocks) restricts bq to lane multiples, which the
+    sublane-broadcast storage requires."""
     t_lanes = _round_up(t, LANE)
 
     def plan(bq):
@@ -110,13 +139,18 @@ def _pick_blocks(t: int, hd: int, block_q: int) -> tuple[int, int, int]:
             return None
         return bq, bk, _round_up(t, bk)
 
-    candidates = []
+    cand_bq = set()
     bq = LANE
     while bq <= min(block_q, _round_up(t_lanes, LANE)):
-        p = plan(bq)
-        if p is not None:
-            candidates.append(p)
+        cand_bq.add(bq)
         bq *= 2
+    div = 1
+    while t_lanes // div >= LANE:
+        bq = t_lanes // div
+        if bq * div == t_lanes and bq % (LANE if lse else 8) == 0 and bq <= block_q:
+            cand_bq.add(bq)
+        div *= 2
+    candidates = [p for p in (plan(bq) for bq in sorted(cand_bq)) if p is not None]
     if not candidates:  # degenerate: even bq=LANE over budget — take it anyway
         bk = LANE
         return LANE, bk, _round_up(t, bk)
@@ -130,7 +164,7 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
-    block_q: int = 512,
+    block_q: int = 2048,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """(B, T, H, hd) q/k/v -> (B, T, H, hd), numerics-matched to vanilla MHSA.
@@ -143,18 +177,57 @@ def flash_attention(
     return _flash_forward(q, k, v, scale, block_q, interpret)
 
 
-def _flash_forward(q, k, v, scale, block_q=512, interpret=None, with_lse=False):
+def _flash_forward(q, k, v, scale, block_q=2048, interpret=None, with_lse=False):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     b, t, h, hd = q.shape
-    bq, bk, tp = _pick_blocks(t, hd, block_q)
+    bq, bk, tp = _pick_blocks(t, hd, block_q, lse=with_lse)
 
     def prep(x):
         x = x.transpose(0, 2, 1, 3).reshape(b * h, t, hd)
         return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
     qf, kf, vf = prep(q), prep(k), prep(v)
+
+    if not with_lse and bk == tp:
+        # single KV block covers the (padded) sequence: the specialized
+        # kernel drops the online-softmax machinery (see _attn_kernel_1kv);
+        # -1e30 (not -f32max) so the bias survives bf16 augmentation and
+        # f32 accumulation without overflow
+        bias = jnp.where(
+            jnp.arange(tp) < t, 0.0, -1e30
+        ).astype(jnp.float32)[:, None]
+        # heads per cell: enough unrolled iterations for MXU/VPU interleave,
+        # bounded by VMEM ((nh, tp, hd) k/v tiles) and head-count divisibility
+        nh = 1
+        for cand in (2, 4):
+            if (b * h) % cand == 0 and cand * tp * hd * 2 * q.dtype.itemsize * 2 < 2**21:
+                nh = cand
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_1kv, scale=scale, nh=nh),
+            grid=(b * h // nh, tp // bq),
+            in_specs=[
+                pl.BlockSpec((nh, bq, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nh, tp, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nh, tp, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tp, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (nh, bq, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * h, tp, hd), q.dtype),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * tp * tp * hd,
+                bytes_accessed=4 * b * h * tp * hd * q.dtype.itemsize,
+                transcendentals=b * h * tp * tp,
+            ),
+        )(qf, kf, vf, bias)
+        return out[:, :t].reshape(b, h, t, hd).transpose(0, 2, 1, 3)
 
     out_specs = pl.BlockSpec((1, bq, hd), lambda i, j, _: (i, j, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b * h, tp, hd), q.dtype)
@@ -386,11 +459,11 @@ def _dq_kernel(
         dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _flash_backward(q, k, v, o, lse, g, scale, block_q=512, interpret=None):
+def _flash_backward(q, k, v, o, lse, g, scale, block_q=2048, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, h, hd = q.shape
-    bq, bk, tp = _pick_blocks(t, hd, block_q)
+    bq, bk, tp = _pick_blocks(t, hd, block_q, lse=True)
 
     def prep(x):
         x = x.transpose(0, 2, 1, 3).reshape(b * h, t, hd)

@@ -43,6 +43,9 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 _LOG2E = 1.4426950408889634
+# sequence length above which the MXU-augmented softmax core wins (see
+# _head_softmax_pv); below it the classic VPU row-sum core is faster
+_AUG_MIN_T = 512
 
 
 def _is_pow2(x: float) -> bool:
@@ -52,29 +55,90 @@ def _is_pow2(x: float) -> bool:
     return x > 0 and m == 0.5
 
 
-def _head_softmax_pv(q, k, v, scale) -> jnp.ndarray:
-    """One head's attention core, shared by every slab kernel: (t, hd) q/k/v
-    -> (t, hd) f32 softmax(q·kᵀ·scale)·v. Power-of-two scales (head_dim 64 ->
-    1/8 for every DINOv2 size) fold EXACTLY into bf16 q (pure exponent
-    shift), keeping the wide (t, t) f32 tile out of one elementwise pass;
-    exp2 is the TPU-native transcendental."""
+def _head_softmax_pv(q, k, v, scale, bias_col=None) -> jnp.ndarray:
+    """One head's attention core, shared by every slab kernel and the
+    single-KV flash path: (t, hd) q/k/v -> (t, hd) f32
+    softmax(q·kᵀ·scale [+ bias])·v.
+
+    The attention core is VPU-bound at hd=64 (round-3 sweep: ~10 elementwise
+    passes over the (t, t) tile vs 2.6 ps/element of MXU work), so everything
+    that CAN ride the idle MXU does (round 3):
+      - the optional pad-mask `bias_col` ((t_k, 1), -BIG at padded keys) is an
+        extra CONTRACTION column — q gains a ones-column, k gains the bias
+        column — so masking costs zero VPU passes;
+      - the softmax normalizer l is a ones-column in v: the PV matmul emits
+        [p·v | l] in one pass, deleting the VPU row-sum over the (t, t) tile;
+      - both augmentations pad the contraction to the full 128 MXU lanes
+        (zeros contribute exactly 0), lifting the hd=64 GEMMs from 50% to
+        full lane utilization.
+    Remaining (t, t) VPU passes: max, sub, mul-LOG2E, exp2, astype — 5.
+    Power-of-two scales (head_dim 64 -> 1/8 for every DINOv2 size) fold
+    EXACTLY into bf16 q (pure exponent shift); exp2 is the TPU-native
+    transcendental; the max subtraction is kept (exact safe softmax).
+
+    The augmentation only pays off where the VPU dominates — at short
+    sequences (classify T=257) the doubled PV output lanes cost more than
+    the saved row-sum pass (measured −1.4% on the ViT-B b64 bench), so
+    below _AUG_MIN_T the classic VPU-sum core is used."""
+    t, hd = q.shape
+    tk = k.shape[0]
     if _is_pow2(scale):
         q = q * jnp.asarray(scale, q.dtype)
+        post_scale = None
+    else:
+        post_scale = scale
+    if tk < _AUG_MIN_T and bias_col is None:
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-    else:
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2((s - m) * _LOG2E)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+        if post_scale is not None:
+            s = s * post_scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2((s - m) * _LOG2E)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return pv / l
+    # Augmented branch, 3 full-tile VPU passes (sub, exp2, astype):
+    #   - log2(e) folds into q alongside any residual scale (one (t, hd)
+    #     pass, 22x smaller than the tile; in bf16 this rounds the combined
+    #     scale to 8 bits — a <=2^-9 uniform logit-temperature perturbation,
+    #     inside the existing bf16 storage noise; exact in f32);
+    #   - softmax is SHIFT-INVARIANT, so the row shift needs no max: the
+    #     CLS-column logit s[:, 0] (always a real key) keeps exp2 in range
+    #     for any realistic logit spread (overflow needs a per-row range
+    #     > 127 in log2 units ≈ 88 nats — unseen in ViTs), deleting the
+    #     full-tile max reduction.
+    c = _LOG2E if post_scale is None else post_scale * _LOG2E
+    q = q * jnp.asarray(c, q.dtype)
+    aug = -(-(hd + 1) // 128) * 128
+    q_aug = jnp.concatenate(
+        [q, jnp.ones((t, 1), q.dtype), jnp.zeros((t, aug - hd - 1), q.dtype)],
+        axis=1,
+    )
+    bias_part = (
+        bias_col.astype(k.dtype)
+        if bias_col is not None
+        else jnp.zeros((tk, 1), k.dtype)
+    )
+    k_aug = jnp.concatenate(
+        [k, bias_part, jnp.zeros((tk, aug - hd - 1), k.dtype)], axis=1
+    )
+    s = jax.lax.dot_general(
+        q_aug, k_aug, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # log2-domain scores; masked cols = bias (-BIG)
+    p = jnp.exp2(s - s[:, 0:1])  # static 1-lane slice (dynamic_slice has no Mosaic lowering)
+    v_aug = jnp.concatenate(
+        [v, jnp.ones((tk, 1), v.dtype), jnp.zeros((tk, aug - hd - 1), v.dtype)],
+        axis=1,
+    )
     pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return pv / l
+    return pv[:, :hd] / pv[:, hd : hd + 1]
 
 
 def _pick_image_blocks(b: int, cost_fn, budget: int | None = None) -> int:

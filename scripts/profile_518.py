@@ -88,6 +88,9 @@ def make_forward(config, opts, attn="flashslab", mlp=True, ln="f32"):
 
 
 def main():
+    from dinov2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     known = {"flash", "layoutonly", "qkvonly", "nomlp", "noln"}
     which = set(sys.argv[1:]) or known
     unknown = which - known

@@ -8,7 +8,8 @@ cheaper and more robust in this tunneled environment than a trace viewer.
 
 Usage:  python scripts/profile_mfu.py [variant ...]
 Variants: full flash slab qkvonly noln bf16ln nomlp isolated (default: all)
-Unknown variant names are rejected.
+Unknown variant names are rejected. DINOV2_PROFILE_SIZE=small|base|large picks
+the model (default base; GFLOP/img adjusts).
 """
 
 from __future__ import annotations
@@ -101,12 +102,18 @@ def make_forward(config, opts, attn="vanilla", ln="f32", mlp=True):
 
 
 def main():
+    from dinov2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     known = {"full", "flash", "slab", "qkvonly", "noln", "bf16ln", "nomlp", "isolated"}
     which = set(sys.argv[1:]) or (known - {"nomlp"})  # slab = production path
     unknown = which - known
     if unknown:
         sys.exit(f"unknown variants {sorted(unknown)}; choose from {sorted(known)}")
-    base = PRESETS["base"]
+    import os
+
+    size = os.environ.get("DINOV2_PROFILE_SIZE", "base")
+    base = PRESETS[size]
     config = DinoConfig(**{**base.__dict__, "num_classes": 1000})
     opts = ModelOptions(parity="reference", compute_dtype=jnp.bfloat16)
     params = init_params(config, seed=0, dtype=jnp.bfloat16)
@@ -114,7 +121,12 @@ def main():
     x = jnp.asarray(rng.standard_normal((BATCH, 224, 224, 3)), dtype=jnp.float32)
     float(jnp.sum(jnp.ones((8, 128))))  # warm transfer path
 
-    gflop_img = 46.5  # ViT-B/14 classify @224 per image (VERDICT arithmetic)
+    # matmul+attention FLOPs per image at 224px classify for the MFU print
+    t = (224 // config.patch_size) ** 2 + 1 + config.num_register_tokens
+    d = config.hidden_size
+    gflop_img = config.num_hidden_layers * (
+        2 * t * d * 4 * d + 4 * t * t * d + 2 * 2 * t * d * 4 * d
+    ) / 1e9
     results = {}
 
     def report(name, ms):
@@ -138,7 +150,7 @@ def main():
 
     if "isolated" in which:
         # isolated attention core at the model shape (B, T, H, hd)
-        b, t, h, hd = BATCH, 257, 12, 64
+        b, t, h, hd = BATCH, 257, config.num_attention_heads, 64
         q = jnp.asarray(rng.standard_normal((b, t, h, hd)), dtype=jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((b, t, h, hd)), dtype=jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((b, t, h, hd)), dtype=jnp.bfloat16)

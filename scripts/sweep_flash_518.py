@@ -26,6 +26,9 @@ from profile_mfu import timed_scan  # noqa: E402
 
 
 def main():
+    from dinov2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     b, t, h, hd = 8, 1370, 16, 64
     rng = np.random.default_rng(0)
     q, k, v = [

@@ -29,6 +29,9 @@ from dinov2_tpu.quant.quantize import quantize_gguf
 
 
 def main():
+    from dinov2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = sys.argv[1:]
     size = args[0] if args and args[0] in PRESETS else "small"
     fmts = [a for a in args if a.startswith("q")] or [
