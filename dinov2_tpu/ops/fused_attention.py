@@ -43,9 +43,22 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 _LOG2E = 1.4426950408889634
-# sequence length above which the MXU-augmented softmax core wins (see
-# _head_softmax_pv); below it the classic VPU row-sum core is faster
-_AUG_MIN_T = 512
+
+
+def _aug_min_t() -> int:
+    """Sequence length at/above which the MXU-augmented softmax core is used
+    (see _head_softmax_pv); below it the classic VPU row-sum core runs.
+
+    Measured on v5e (ViT-B b64 img/s at T=257 / per-layer attention ms at
+    T=1370): classic 2978 / 2.06; 4-pass augmented 2946 / ~1.76; 3-pass
+    CLS-shift augmented 3104 / 1.72 — but the 3-pass variant silently NaNs
+    when a row's logit spread exceeds 128 log2 units (untrained/rogue
+    checkpoints), so the SAFE per-shape optimum ships: classic below 512
+    tokens, 4-pass augmented at/above. Read at trace time;
+    DINOV2_TPU_AUG_MIN_T overrides (0 = always augmented)."""
+    import os
+
+    return int(os.environ.get("DINOV2_TPU_AUG_MIN_T", "512"))
 
 
 def _is_pow2(x: float) -> bool:
@@ -87,7 +100,7 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None) -> jnp.ndarray:
         post_scale = None
     else:
         post_scale = scale
-    if tk < _AUG_MIN_T and bias_col is None:
+    if tk < _aug_min_t() and bias_col is None:
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -101,16 +114,16 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
         )
         return pv / l
-    # Augmented branch, 3 full-tile VPU passes (sub, exp2, astype):
-    #   - log2(e) folds into q alongside any residual scale (one (t, hd)
-    #     pass, 22x smaller than the tile; in bf16 this rounds the combined
-    #     scale to 8 bits — a <=2^-9 uniform logit-temperature perturbation,
-    #     inside the existing bf16 storage noise; exact in f32);
-    #   - softmax is SHIFT-INVARIANT, so the row shift needs no max: the
-    #     CLS-column logit s[:, 0] (always a real key) keeps exp2 in range
-    #     for any realistic logit spread (overflow needs a per-row range
-    #     > 127 in log2 units ≈ 88 nats — unseen in ViTs), deleting the
-    #     full-tile max reduction.
+    # Augmented branch, 4 full-tile VPU passes (max, sub, exp2, astype):
+    # log2(e) folds into q alongside any residual scale (one (t, hd) pass,
+    # 22x smaller than the tile, replacing the full-tile *LOG2E multiply; in
+    # bf16 this rounds the combined scale to 8 bits — a <=2^-9 uniform
+    # logit-temperature perturbation, inside the existing bf16 storage
+    # noise; exact in f32). The row-max subtraction is KEPT: a CLS-column
+    # shift (softmax is shift-invariant) measured ~2% faster at T=1370 but
+    # silently NaNs whenever a row's logit spread exceeds 128 log2 units —
+    # fine for trained ViTs, a correctness cliff for untrained/rogue
+    # checkpoints (reproduced by the synthetic-weight tests).
     c = _LOG2E if post_scale is None else post_scale * _LOG2E
     q = q * jnp.asarray(c, q.dtype)
     aug = -(-(hd + 1) // 128) * 128
@@ -129,7 +142,7 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None) -> jnp.ndarray:
     s = jax.lax.dot_general(
         q_aug, k_aug, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # log2-domain scores; masked cols = bias (-BIG)
-    p = jnp.exp2(s - s[:, 0:1])  # static 1-lane slice (dynamic_slice has no Mosaic lowering)
+    p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
     v_aug = jnp.concatenate(
         [v, jnp.ones((tk, 1), v.dtype), jnp.zeros((tk, aug - hd - 1), v.dtype)],
         axis=1,
