@@ -34,9 +34,16 @@ def test_compilation_cache_util(monkeypatch, tmp_path):
     monkeypatch.setattr(cache, "_enabled", False)
     monkeypatch.setenv("DINOV2_TPU_CACHE_DIR", str(tmp_path / "jc"))
     try:
+        # CPU backend skips persistence by default (XLA:CPU AOT artifacts are
+        # machine-feature-pinned; round 3) — DINOV2_TPU_CACHE_CPU opts in
+        cache.enable_compilation_cache()
+        assert not cache._enabled
+        monkeypatch.setenv("DINOV2_TPU_CACHE_CPU", "1")
         cache.enable_compilation_cache()
         assert cache._enabled
+        # dir is scoped per platform fingerprint under the base dir
         assert (tmp_path / "jc").exists()
+        assert list((tmp_path / "jc").iterdir())  # the fingerprint subdir
         cache.enable_compilation_cache()  # idempotent
 
         monkeypatch.setattr(cache, "_enabled", False)
