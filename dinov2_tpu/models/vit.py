@@ -138,18 +138,20 @@ def _attention_half_layer(
         elif qkv_quant and proj_quant:
             # Fused-quant attention half-layer, two routes (both remove the
             # HBM attention round-trip that round 2's quant path still paid —
-            # the 1.27x fused-vs-dequant gap, VERDICT r2). Measured at ViT-B
-            # b64 q4_0 on v5e (docs/TPU_NOTES.md r3): round-2 fused 29.3 ms;
+            # the 1.27x fused-vs-dequant gap, VERDICT r2). Measured q4_0 on
+            # v5e (docs/TPU_NOTES.md r3; round-2 fused was 29.3 ms at b64):
             #   "kernel"  = in-kernel dequant-once-into-VMEM-scratch
-            #               (ops/fused_quant_attention.py)          24.3 ms
-            #   "dequant" = per-layer XLA dequant into the DENSE
-            #               half-layer kernel (transient weights)   23.6 ms
-            # The dequant route wins at batched M (the 2x ~4.7 MB transient
-            # weight round-trip is noise and the dense kernel runs nb=2); the
-            # in-kernel route wins small-M latency (weights stay packed: 1.7
-            # vs ~11 MB of weight traffic per layer). "auto" picks by M with
-            # the same 4096-row threshold as ops/qmatmul.py::quant_matmul;
-            # DINOV2_TPU_QUANT_SLAB=kernel|dequant|off forces a route.
+            #               (ops/fused_quant_attention.py):
+            #               b1 2.07 / b8 5.10 / b64 24.3 ms
+            #   "dequant" = per-layer XLA dequant into the DENSE half-layer
+            #               kernel (transient weights):
+            #               b1 1.95 / b8 4.37 / b64 23.6 ms
+            # The transient-dequant route wins at EVERY batch size — the
+            # in-kernel dequant serializes per-layer VPU work against the
+            # layer compute, which hurts more the smaller the batch, while
+            # the transient dense weights cost only ~11 MB/layer of traffic.
+            # "auto" therefore always prefers it; the in-kernel kernel stays
+            # behind DINOV2_TPU_QUANT_SLAB=kernel ("off" disables both).
             import os
 
             mode = os.environ.get("DINOV2_TPU_QUANT_SLAB", "auto")
@@ -159,14 +161,12 @@ def _attention_half_layer(
             )
             from dinov2_tpu.ops.qmatmul import dequant_weight
 
-            kernel_fits = mode in ("auto", "kernel") and fits_slab_layer_quant(
+            kernel_fits = mode == "kernel" and fits_slab_layer_quant(
                 t, d, x.dtype.itemsize, qkv_k, proj_k
             )
             dequant_fits = mode in ("auto", "dequant") and fits_slab_layer(
                 t, d, x.dtype.itemsize
             )
-            if mode == "auto" and kernel_fits and dequant_fits:
-                kernel_fits = b * t < 4096
             if kernel_fits:
                 return slab_layer_block_quant(
                     x, layer["norm1"]["scale"], layer["norm1"]["bias"],

@@ -112,32 +112,21 @@ def quant_matmul(
     THE quantized-matmul dispatch point: Pallas fused kernel (bias/activation
     in the epilogue) when available, else XLA dequant-then-matmul.
 
-    Large-M exception (round 3, measured on v5e): the fused kernel's grid
-    re-reads the (M, K) activation tile once per N-block (the price of the
-    dequant-once-at-m==0 trick), so at batched shapes per-call XLA dequant +
-    dense matmul is strictly cheaper — the transient dense weight costs one
-    ~5-10 MB HBM round-trip vs ~25 MB x M-tile re-reads per extra N-block
-    (whole-model A/B at ViT-B b64 fused q4_0: 26.6 -> 24.3 ms, TPU_NOTES r3).
-    Worst case is q5-packed at k >= 3072 where Mosaic caps bn=128 (~600
-    MB/layer re-read). Small-M latency calls keep the fused kernel (weights
-    stay packed end-to-end, no transient). An explicit backend (argument or
-    DINOV2_TPU_QUANT_BACKEND) disables the heuristic."""
-    m_rows = 1
-    for s in x.shape[:-1]:
-        m_rows *= s
-    # k from the ARRAY (shard_map passes per-device shards; static ql.shape
-    # still holds the global dims)
-    k_in = ql.codes.shape[-1] * (2 if getattr(ql, "packed", False) else 1)
-    q5_capped = (
-        getattr(ql, "packed", False)
-        and getattr(ql, "qh_lo", None) is not None
-        and k_in >= 3072
-        and m_rows >= 1024
-    )
+    Round-3 default (measured on v5e, docs/TPU_NOTES.md): "auto" on TPU uses
+    per-call XLA dequant + dense matmul at EVERY shape. The fused kernel's
+    grid re-reads the (M, K) activation tile once per N-block (the price of
+    the dequant-once-at-m==0 trick; ~600 MB/layer worst-case at the q5
+    Mosaic bn=128 cap), and its in-kernel dequant serializes VPU work
+    against the matmul — A/B'd at ViT-B b1/b8/b64 and even the fused
+    kernel's best conceivable case (giant b1: largest weights, m=257), the
+    transient-dequant route wins everywhere (giant b1 9.98 vs 10.17 ms;
+    ViT-B b64 whole-model 26.6 -> 24.3). The Pallas kernels remain behind an
+    explicit backend (argument or DINOV2_TPU_QUANT_BACKEND=pallas) and in
+    the interpret-mode test suite."""
     forced = backend != "auto" or os.environ.get("DINOV2_TPU_QUANT_BACKEND") in (
         "pallas", "xla",
     )
-    prefer_xla = not forced and (m_rows >= 4096 or q5_capped)
+    prefer_xla = not forced
     if _resolve_backend(backend) == "pallas" and not prefer_xla:
         try:
             from dinov2_tpu.ops.pallas_qmatmul import quant_matmul_pallas

@@ -474,11 +474,18 @@ def test_quant_model_slab_routing_matches_xla(rng, tmp_path, monkeypatch):
                             compute_dtype=jnp.float32)
     monkeypatch.setenv("DINOV2_TPU_QUANT_BACKEND", "xla")
     want = forward(loaded.params, x, loaded.config, opts_van, classify=True)
-    got = forward(loaded.params, x, loaded.config, opts_slab, classify=True)
-    for key in ("cls_token", "probs"):
-        np.testing.assert_allclose(
-            np.asarray(got[key]), np.asarray(want[key]), rtol=5e-5, atol=5e-5
-        )
+    # auto route (transient-dequant into the dense kernel) AND the forced
+    # in-kernel quant-kernel route must both match the unfused path. Env
+    # knobs are read at TRACE time; distinct batch sizes force a fresh trace
+    # per mode (same jit cache key otherwise).
+    for slab_mode, nb in (("auto", 2), ("kernel", 1)):
+        monkeypatch.setenv("DINOV2_TPU_QUANT_SLAB", slab_mode)
+        got = forward(loaded.params, x[:nb], loaded.config, opts_slab, classify=True)
+        for key in ("cls_token", "probs"):
+            np.testing.assert_allclose(
+                np.asarray(got[key]), np.asarray(want[key])[:nb],
+                rtol=5e-5, atol=5e-5, err_msg=f"slab_mode={slab_mode} {key}",
+            )
 
 
 def test_slab_backward_flash_route_matches_vanilla(rng, monkeypatch):
@@ -530,3 +537,38 @@ def test_flash_slab_grad_matches_reference(rng):
     )(qkv)
     g2 = jax.grad(lambda s: jnp.sum(_slab_reference(s, 4, scale) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+def test_quant_model_dequant_slab_route_matches_xla(rng, tmp_path, monkeypatch):
+    """DINOV2_TPU_QUANT_SLAB=dequant: per-layer XLA dequant into the DENSE
+    half-layer kernel (the measured-fastest batched route) must match the
+    unfused XLA path."""
+    import jax
+
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.config import DinoConfig
+    from dinov2_tpu.models.params import load_params
+    from dinov2_tpu.models.vit import ModelOptions, forward
+    from dinov2_tpu.quant.quantize import quantize_gguf
+
+    config = DinoConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+                        num_classes=4, patch_size=14, img_size=70)
+    src = tmp_path / "m.gguf"
+    dst = tmp_path / "m.q5_1.gguf"
+    write_synthetic_gguf(src, config, seed=9)
+    quantize_gguf(src, dst, GGMLType.Q5_1)
+
+    loaded = load_params(dst, dtype=jnp.float32, quant_mode="fused")
+    x = jnp.asarray(rng.standard_normal((2, 70, 70, 3)), jnp.float32)
+    opts_slab = ModelOptions(parity="hf", flash_attention="slab",
+                             compute_dtype=jnp.float32)
+    opts_van = ModelOptions(parity="hf", flash_attention=False,
+                            compute_dtype=jnp.float32)
+    monkeypatch.setenv("DINOV2_TPU_QUANT_BACKEND", "xla")
+    want = forward(loaded.params, x, loaded.config, opts_van, classify=True)
+    monkeypatch.setenv("DINOV2_TPU_QUANT_SLAB", "dequant")
+    got = forward(loaded.params, x, loaded.config, opts_slab, classify=True)
+    for key in ("cls_token", "probs"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), rtol=5e-5, atol=5e-5
+        )
