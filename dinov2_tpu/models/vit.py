@@ -164,7 +164,10 @@ def _attention_half_layer(
             kernel_fits = mode == "kernel" and fits_slab_layer_quant(
                 t, d, x.dtype.itemsize, qkv_k, proj_k
             )
-            dequant_fits = mode in ("auto", "dequant") and fits_slab_layer(
+            # "kernel" falls back to the dequant route where the quant kernel
+            # exceeds its VMEM budget (e.g. ViT-L) — same chain as "auto", so
+            # forced A/B runs never silently measure a third route
+            dequant_fits = mode in ("auto", "dequant", "kernel") and fits_slab_layer(
                 t, d, x.dtype.itemsize
             )
             if kernel_fits:

@@ -116,10 +116,13 @@ def self_attention_block(
                 # kernel's VMEM budget (e.g. ViT-L): per-layer XLA dequant
                 # into the proj-fused slab kernel still beats the unfused
                 # route — the attention slab's HBM write+read (~16.8 MB at
-                # ViT-L b16) dwarfs the 2x1 MB dense-proj round-trip
+                # ViT-L b16) dwarfs the 2x1 MB dense-proj round-trip.
+                # Same env knob and default as models/vit.py: any mode but
+                # "off" takes it (there is no in-kernel-quant variant of the
+                # proj-epilogue kernel, so "kernel" degrades to this too)
                 import os
 
-                if os.environ.get("DINOV2_TPU_QUANT_SLAB", "kernel") == "off":
+                if os.environ.get("DINOV2_TPU_QUANT_SLAB", "auto") == "off":
                     proj_kernel = None
                 else:
                     from dinov2_tpu.ops.qmatmul import dequant_weight

@@ -22,16 +22,23 @@ import jax.numpy as jnp
 
 
 def _resolve_backend(backend: str) -> str:
-    """Resolve the "auto" quantized-matmul backend: the env override
-    DINOV2_TPU_QUANT_BACKEND ("pallas" | "xla") wins (tests use it to force the
-    interpret-mode Pallas kernel on CPU), else pallas on TPU, xla elsewhere.
-    Read at trace time — each jit cache entry bakes the choice in."""
+    """Resolve the quantized-matmul backend. An explicit argument wins, then
+    the env override DINOV2_TPU_QUANT_BACKEND ("pallas" | "xla" — tests use
+    it to force the interpret-mode Pallas kernels on CPU). "auto" resolves to
+    "xla" on EVERY backend since round 3: per-call XLA dequant + dense matmul
+    measured faster than the fused Pallas kernels at every shape on v5e,
+    including their best conceivable case (giant b1 9.98 vs 10.17 ms; ViT-B
+    b64 whole-model 26.6 -> 24.3 — docs/TPU_NOTES.md r3; in-kernel dequant
+    serializes VPU work against the matmuls while the transient dense weight
+    costs only a ~5-19 MB/layer HBM round-trip). The packed GGUF blocks stay
+    the only persistent weight form in HBM either way. Read at trace time —
+    each jit cache entry bakes the choice in."""
     if backend != "auto":
         return backend
     env = os.environ.get("DINOV2_TPU_QUANT_BACKEND")
     if env in ("pallas", "xla"):
         return env
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "xla"
 
 
 def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -109,25 +116,12 @@ def quant_matmul(
     activation: str | None = None,
 ) -> jnp.ndarray:
     """y = x @ W^T (+ bias, + activation) where W is a (out, in) QuantLinear.
-    THE quantized-matmul dispatch point: Pallas fused kernel (bias/activation
-    in the epilogue) when available, else XLA dequant-then-matmul.
-
-    Round-3 default (measured on v5e, docs/TPU_NOTES.md): "auto" on TPU uses
-    per-call XLA dequant + dense matmul at EVERY shape. The fused kernel's
-    grid re-reads the (M, K) activation tile once per N-block (the price of
-    the dequant-once-at-m==0 trick; ~600 MB/layer worst-case at the q5
-    Mosaic bn=128 cap), and its in-kernel dequant serializes VPU work
-    against the matmul — A/B'd at ViT-B b1/b8/b64 and even the fused
-    kernel's best conceivable case (giant b1: largest weights, m=257), the
-    transient-dequant route wins everywhere (giant b1 9.98 vs 10.17 ms;
-    ViT-B b64 whole-model 26.6 -> 24.3). The Pallas kernels remain behind an
-    explicit backend (argument or DINOV2_TPU_QUANT_BACKEND=pallas) and in
-    the interpret-mode test suite."""
-    forced = backend != "auto" or os.environ.get("DINOV2_TPU_QUANT_BACKEND") in (
-        "pallas", "xla",
-    )
-    prefer_xla = not forced
-    if _resolve_backend(backend) == "pallas" and not prefer_xla:
+    THE quantized-matmul dispatch point: "auto" = per-call XLA dequant +
+    dense matmul (the measured-fastest route at every shape — see
+    _resolve_backend); the fused Pallas kernels (bias/activation in the
+    epilogue, weight traffic packed end-to-end) run when explicitly
+    requested."""
+    if _resolve_backend(backend) == "pallas":
         try:
             from dinov2_tpu.ops.pallas_qmatmul import quant_matmul_pallas
         except (ImportError, NotImplementedError):

@@ -50,9 +50,9 @@ def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
     if need < len(devices):
         # a prefix subset is intentional for debug meshes, but a mistyped
         # --mesh would otherwise silently idle most of the hardware
-        import logging
+        from dinov2_tpu.utils.logging import get_logger
 
-        logging.getLogger(__name__).warning(
+        get_logger().warning(
             "mesh %s uses %d of %d available devices", axes, need, len(devices)
         )
     dev_array = np.array(devices[:need]).reshape(shape)

@@ -35,7 +35,7 @@ BATCH = 8
 SIZE = 518  # 37x37 grid + 1 extra patch row/col (Q4) -> handled by caller shape
 
 
-def make_forward(config, opts, attn="flashslab", mlp=True, ln="f32"):
+def make_forward(config, opts, attn="flash", mlp=True, ln="f32"):
     heads = config.num_attention_heads
 
     def ln_fn(x, p):

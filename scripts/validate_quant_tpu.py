@@ -2,18 +2,26 @@
 
 For each format: write a synthetic ViT-S-shaped checkpoint, quantize it, load
 it twice (quant_mode="dequant" vs "fused"), run both jitted forwards on the
-SAME input on the real TPU, and report max|Δ| of CLS features and probs. The
-fused path exercises the round-3 quant half-layer kernel
-(ops/fused_quant_attention.py) plus the per-matmul fused kernels for the MLP.
+SAME input on the real TPU, and report max|Δ| of CLS features and probs.
+
+The script FORCES the Mosaic kernel routes (DINOV2_TPU_QUANT_SLAB=kernel for
+the quant half-layer kernel, DINOV2_TPU_QUANT_BACKEND=pallas for the
+per-matmul fused kernels) — with default env the round-3 "auto" routing runs
+the transient-XLA-dequant routes instead, and the kernels this script exists
+to validate would never execute.
 
 Usage: python scripts/validate_quant_tpu.py [small|base] [formats...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 from pathlib import Path
+
+os.environ.setdefault("DINOV2_TPU_QUANT_SLAB", "kernel")
+os.environ.setdefault("DINOV2_TPU_QUANT_BACKEND", "pallas")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
