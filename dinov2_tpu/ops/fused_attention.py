@@ -427,10 +427,20 @@ def _layer_block_cost(nb: int, t: int, d: int, itemsize: int = 2) -> int:
 _LAYER_VMEM_BUDGET = 14 * 1024 * 1024
 
 
+def _layer_budget() -> int:
+    """Half-layer kernel VMEM budget; DINOV2_TPU_SLAB_VMEM overrides (the
+    same env _pick_image_blocks honors), so budget experiments flip BOTH the
+    fits gates and the nb choice consistently."""
+    import os
+
+    env = os.environ.get("DINOV2_TPU_SLAB_VMEM")
+    return int(env) if env else _LAYER_VMEM_BUDGET
+
+
 def fits_slab_layer(t: int, d: int, itemsize: int = 2) -> bool:
     return (
         t <= MAX_SLAB_TOKENS
-        and _layer_block_cost(1, t, d, itemsize) < _LAYER_VMEM_BUDGET
+        and _layer_block_cost(1, t, d, itemsize) < _layer_budget()
     )
 
 
@@ -626,7 +636,7 @@ def fits_slab_mlp(t: int, d: int, dh: int, itemsize: int = 2) -> bool:
     return (
         t <= MAX_SLAB_TOKENS
         and dh % d == 0
-        and _mlp_block_cost(1, t, d, dh, itemsize) < _LAYER_VMEM_BUDGET
+        and _mlp_block_cost(1, t, d, dh, itemsize) < _layer_budget()
     )
 
 

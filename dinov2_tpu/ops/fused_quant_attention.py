@@ -39,9 +39,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dinov2_tpu.ops.fused_attention import (
-    _LAYER_VMEM_BUDGET,
     MAX_SLAB_TOKENS,
     _head_softmax_pv,
+    _layer_budget,
     _pick_image_blocks,
 )
 from dinov2_tpu.ops.pallas_qmatmul import QK, _fifth_bits
@@ -237,7 +237,7 @@ def fits_slab_layer_quant(t: int, d: int, itemsize: int, qkv_ql, proj_ql) -> boo
     return (
         t <= MAX_SLAB_TOKENS
         and _quant_layer_cost(1, t, d, itemsize, _ql_meta(qkv_ql), _ql_meta(proj_ql))
-        < _LAYER_VMEM_BUDGET
+        < _layer_budget()
     )
 
 
