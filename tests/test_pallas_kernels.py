@@ -153,7 +153,13 @@ def test_pallas_qmatmul_batched_shape(rng):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("b,t,heads,d", [(2, 257, 12, 768), (4, 37, 4, 256), (1, 130, 6, 384)])
+@pytest.mark.parametrize(
+    "b,t,heads,d",
+    [(2, 257, 12, 768), (4, 37, 4, 256), (1, 130, 6, 384),
+     # t=640 >= the aug gate: exercises the MXU-augmented softmax core
+     # (normalizer via the ones-column PV matmul) without a bias column
+     (1, 640, 4, 256)],
+)
 def test_slab_matches_vanilla_f32(b, t, heads, d, rng):
     from dinov2_tpu.ops.fused_attention import _slab_reference, slab_attention
 
