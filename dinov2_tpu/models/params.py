@@ -144,10 +144,13 @@ def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
     gt = GGMLType(t.ggml_type)
     packed_types = _PACKED_TYPES
     if os.environ.get("DINOV2_TPU_Q5_LAYOUT", "packed") == "soa":
-        # speed-vs-footprint knob: the q5 packed kernels pay ~15-20% extra
-        # for the in-kernel 5th-bit expansion and the Mosaic block caps
-        # (ops/pallas_qmatmul.py); int8-SoA q5 runs at q8_0 speed at
-        # ~1.06 B/weight instead of 0.69-0.75
+        # legacy knob: in round 2 the q5 PACKED kernels paid 15-38% for the
+        # in-kernel 5th-bit expansion + Mosaic block caps, and int8-SoA q5
+        # (~1.06 B/weight) ran at q8_0 speed. Round 3's transient-dequant
+        # routing erased the gap (q5 within 0.5% of q4_0 at 0.69-0.75
+        # B/weight, docs/BENCH_TABLES.md) — packed stays the default; the
+        # knob remains for forced-Pallas (DINOV2_TPU_QUANT_BACKEND=pallas)
+        # experiments where the old trade-off still applies
         packed_types = (GGMLType.Q4_0, GGMLType.Q4_1)
     if gt in packed_types:
         # repack ggml's block-local nibbles (byte j of block b = elements
