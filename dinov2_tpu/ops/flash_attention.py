@@ -80,12 +80,16 @@ def _attn_kernel(*refs, scale, t_actual, bk, with_lse=False, kv_axis=2):
         inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scr[...] * inv).astype(o_ref.dtype)
         if lse_ref is not None:
-            # (b·h, 8, tp) sublane-broadcast storage: Mosaic requires block
-            # last-two dims divisible by (8, 128), so a plain (1, bq) row
-            # block is unmappable — replicate the row over 8 sublanes instead
+            # (b·h, tp, 8) storage: tokens on the sublane axis, the value
+            # replicated over an 8-wide last dim. Mosaic requires block
+            # last-two dims divisible by (8, 128) OR equal to the array dims
+            # — with the last dim exactly 8 == the array dim, ANY bq%8 q
+            # block maps (the previous (b·h, 8, tp) layout forced bq%128,
+            # locking the T=1370 training forward out of the bq=704 divisor
+            # blocks the inference path uses)
             m = jnp.max(m_scr[...], axis=-1)  # (bq,)
             lse = m + jnp.log(jnp.maximum(jnp.max(l_scr[...], axis=-1), 1e-30))
-            lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
+            lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
 def _attn_kernel_1kv(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, nh):
@@ -112,9 +116,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_blocks(
-    t: int, hd: int, block_q: int, lse: bool = False
-) -> tuple[int, int, int]:
+def _pick_blocks(t: int, hd: int, block_q: int) -> tuple[int, int, int]:
     """Choose (bq, bk, tp) with the grid invariant tp % bq == tp % bk == 0
     (violating it silently drops Q blocks -> garbage output rows) and the f32
     scores tile + K/V tiles inside the VMEM budget. bk is a multiple of bq.
@@ -123,9 +125,9 @@ def _pick_blocks(
     (round 3): at T=1370 the pow2 picker lands bq=128 -> 1408 grid cells/call
     whose ~1.1 µs/cell VPU+DMA overhead dwarfs the 0.47 µs of MXU work (the
     core measured 13.6% MFU); bq=704 divides tp=1408 exactly — 4.5x fewer
-    cells, zero extra padding. `lse=True` (training: the logsumexp output
-    rides (1, 8, bq) blocks) restricts bq to lane multiples, which the
-    sublane-broadcast storage requires."""
+    cells, zero extra padding. The logsumexp sidecar (training) rides
+    (1, bq, 8) blocks of a (b·h, tp, 8) array, so it imposes no extra bq
+    constraint."""
     t_lanes = _round_up(t, LANE)
 
     def plan(bq):
@@ -147,7 +149,7 @@ def _pick_blocks(
     div = 1
     while t_lanes // div >= LANE:
         bq = t_lanes // div
-        if bq * div == t_lanes and bq % (LANE if lse else 8) == 0 and bq <= block_q:
+        if bq * div == t_lanes and bq % 8 == 0 and bq <= block_q:
             cand_bq.add(bq)
         div *= 2
     candidates = [p for p in (plan(bq) for bq in sorted(cand_bq)) if p is not None]
@@ -182,7 +184,7 @@ def _flash_forward(q, k, v, scale, block_q=2048, interpret=None, with_lse=False)
         interpret = jax.default_backend() != "tpu"
 
     b, t, h, hd = q.shape
-    bq, bk, tp = _pick_blocks(t, hd, block_q, lse=with_lse)
+    bq, bk, tp = _pick_blocks(t, hd, block_q)
 
     def prep(x):
         x = x.transpose(0, 2, 1, 3).reshape(b * h, t, hd)
@@ -235,10 +237,10 @@ def _flash_forward(q, k, v, scale, block_q=2048, interpret=None, with_lse=False)
         out_specs = [
             out_specs,
             pl.BlockSpec(
-                (1, 8, bq), lambda i, j, _: (i, 0, j), memory_space=pltpu.VMEM
+                (1, bq, 8), lambda i, j, _: (i, j, 0), memory_space=pltpu.VMEM
             ),
         ]
-        out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, 8, tp), jnp.float32)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, tp, 8), jnp.float32)]
 
     grid = (b * h, tp // bq, tp // bk)
     result = pl.pallas_call(
@@ -388,9 +390,9 @@ flash_attention_slab.defvjp(_flash_slab_fwd, _flash_slab_bwd)
 
 def _bwd_p_ds(q, kk, vv, do, lse_tile, d_tile, *, scale, col0, t_actual):
     """Shared recompute: returns (p, dS) for one (bq, bk) tile, masked.
-    lse_tile/d_tile arrive sublane-broadcast (8, bq); reduce to (bq, 1)."""
-    lse_row = jnp.max(lse_tile, axis=0)[:, None]  # (bq, 1)
-    d_row = jnp.max(d_tile, axis=0)[:, None]
+    lse_tile/d_tile arrive value-replicated (bq, 8); reduce to (bq, 1)."""
+    lse_row = jnp.max(lse_tile, axis=1, keepdims=True)  # (bq, 1)
+    d_row = jnp.max(d_tile, axis=1, keepdims=True)
     s = jax.lax.dot_general(
         q, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -463,22 +465,22 @@ def _flash_backward(q, k, v, o, lse, g, scale, block_q=2048, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, h, hd = q.shape
-    bq, bk, tp = _pick_blocks(t, hd, block_q, lse=True)
+    bq, bk, tp = _pick_blocks(t, hd, block_q)
 
     def prep(x):
         x = x.transpose(0, 2, 1, 3).reshape(b * h, t, hd)
         return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
     qf, kf, vf, of, gf = prep(q), prep(k), prep(v), prep(o), prep(g)
-    # lse arrives (b·h, 8, tp) sublane-broadcast from the forward
+    # lse arrives (b·h, tp, 8) value-replicated from the forward
     lse_f = lse
-    # D = rowsum(dO ∘ O) — O(T·hd), plain XLA; same broadcast storage
+    # D = rowsum(dO ∘ O) — O(T·hd), plain XLA; same replicated storage
     d_rows = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
-    d_rows = jnp.broadcast_to(d_rows[:, None, :], (b * h, 8, tp))
+    d_rows = jnp.broadcast_to(d_rows[:, :, None], (b * h, tp, 8))
 
     qkv_spec_q = pl.BlockSpec((1, bq, hd), lambda i, j, r: (i, r, 0), memory_space=pltpu.VMEM)
     qkv_spec_kv = pl.BlockSpec((1, bk, hd), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM)
-    row_spec_q = pl.BlockSpec((1, 8, bq), lambda i, j, r: (i, 0, r), memory_space=pltpu.VMEM)
+    row_spec_q = pl.BlockSpec((1, bq, 8), lambda i, j, r: (i, r, 0), memory_space=pltpu.VMEM)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, t_actual=t, bk=bk),
@@ -510,8 +512,8 @@ def _flash_backward(q, k, v, o, lse, g, scale, block_q=2048, interpret=None):
             pl.BlockSpec((1, bk, hd), lambda i, j, r: (i, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, hd), lambda i, j, r: (i, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, hd), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, bq), lambda i, j, r: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, bq), lambda i, j, r: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 8), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 8), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, bq, hd), lambda i, j, r: (i, j, 0), memory_space=pltpu.VMEM
