@@ -56,11 +56,35 @@ def mesh_axes_of(args) -> dict[str, int] | None:
     return axes
 
 
+def resolve_asset(path: str) -> str:
+    """Resolve an input path against the bundled asset set.
+
+    The reference ships 11 sample images in `assets/` and defaults to
+    `assets/tench.jpg` (/root/reference/dinov2.h:65). This repo does not copy
+    those binaries; if `path` does not exist locally, look it up (by its
+    relative path, then basename) under $DINOV2_TPU_ASSETS — defaulting to the
+    mounted reference checkout's assets directory — so the stock CLI
+    invocation works out of the box against the reference fixture set."""
+    import os
+
+    if os.path.exists(path):
+        return path
+    root = os.environ.get("DINOV2_TPU_ASSETS", "/root/reference/assets")
+    for cand in (
+        os.path.join(os.path.dirname(root), path),  # e.g. assets/tench.jpg
+        os.path.join(root, os.path.basename(path)),
+    ):
+        if os.path.exists(cand):
+            return cand
+    return path
+
+
 def load_image_rgb(path: str):
-    """Read an image as RGB uint8 (cv2 reads BGR; quirk Q1 handled here once)."""
+    """Read an image as RGB uint8 (cv2 reads BGR; quirk Q1 handled here once).
+    Paths that don't exist locally resolve against the bundled assets."""
     import cv2
 
-    img = cv2.imread(path)
+    img = cv2.imread(resolve_asset(path))
     if img is None:
         raise FileNotFoundError(f"failed to read image: {path}")
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)

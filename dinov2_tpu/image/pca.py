@@ -91,3 +91,20 @@ def upscale_nearest_host(grid_u8, patch_size: int):
 
     out = np.repeat(np.asarray(grid_u8), patch_size, axis=-3)
     return np.repeat(out, patch_size, axis=-2)
+
+
+def resize_nearest_host(grid_u8, out_h: int, out_w: int):
+    """(..., h, w, 3) uint8 -> (..., out_h, out_w, 3) with cv2 INTER_NEAREST
+    semantics (source index = floor(dst * src/dst), clamped) on the host.
+
+    This is the reference's final PCA step — the grid-sized visualization is
+    nearest-resized straight to the ORIGINAL image size
+    (/root/reference/inference.cpp:89-91), which is generally a non-integer
+    scale factor, so plain pixel replication is not enough."""
+    import numpy as np
+
+    grid_u8 = np.asarray(grid_u8)
+    h, w = grid_u8.shape[-3], grid_u8.shape[-2]
+    iy = np.minimum((np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
+    ix = np.minimum((np.arange(out_w) * (w / out_w)).astype(np.int64), w - 1)
+    return grid_u8[..., iy[:, None], ix[None, :], :]

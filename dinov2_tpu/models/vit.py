@@ -225,10 +225,16 @@ def _mlp_half_layer(
                 slab_mlp_block,
             )
 
+            import os
+
             fc1_k, fc2_k = mlp["fc1"]["kernel"], mlp["fc2"]["kernel"]
             fc1_quant = hasattr(fc1_k, "ggml_type")
             if fc1_quant != hasattr(fc2_k, "ggml_type"):
                 fc1_k = None  # mixed dense/quant MLP: no fused route
+            elif fc1_quant and os.environ.get("DINOV2_TPU_QUANT_SLAB") == "off":
+                # same knob as the attention half-layer: "off" disables EVERY
+                # fused-quant slab route, so an A/B baseline is truly unfused
+                fc1_k = None
             elif fc1_quant:
                 # VERDICT r2 item 5 (quantized MLP-fusion experiment): both
                 # weights resident in VMEM as packed codes + dequant scratch

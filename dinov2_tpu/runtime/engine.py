@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dinov2_tpu.image.pca import pca_visualization_batch, upscale_nearest_host
+from dinov2_tpu.image.pca import pca_visualization_batch, resize_nearest_host
 from dinov2_tpu.image.preprocess import classify_preprocess, feature_preprocess
 from dinov2_tpu.models.params import load_params
 from dinov2_tpu.models.vit import ModelOptions, forward
@@ -329,18 +329,24 @@ class DinoEngine:
         return pca_visualization_batch(out["patch_tokens"], (gh, gw))
 
     def _pca_batch(self, batch: np.ndarray) -> np.ndarray:
-        """Same-size images (B, H, W, 3) -> (B, h, w, 3) uint8 PCA images."""
+        """Same-size images (B, H, W, 3) -> (B, H, W, 3) uint8 PCA images at
+        the ORIGINAL input size (the reference nearest-resizes the grid-sized
+        visualization straight back to the input's size,
+        /root/reference/inference.cpp:89-91; the device returns the grid and
+        the host does the resize — a ~p² smaller device->host transfer)."""
         p = self.config.patch_size
         gh, gw = batch.shape[1] // p + 1, batch.shape[2] // p + 1
         x, n = self._device_batch(batch)  # pads to bucket/mesh multiple
         vis, ms = time_blocked(self._jit_pca, self.params, x, p, gh, gw)
         self.last_compute_ms = ms
-        return upscale_nearest_host(np.asarray(vis)[:n], p)
+        return resize_nearest_host(
+            np.asarray(vis)[:n], batch.shape[1], batch.shape[2]
+        )
 
     def pca_visualization(self, image: np.ndarray) -> np.ndarray:
-        """One RGB image -> uint8 PCA visualization at the preprocessed size
-        (reference upscales the patch grid with INTER_NEAREST to the model input
-        size, inference.cpp:95-97)."""
+        """One RGB image -> uint8 PCA visualization at the original image size
+        (reference contract: grid -> INTER_NEAREST resize to original_size,
+        inference.cpp:89-91)."""
         img = image[None] if image.ndim == 3 else image
         return self._pca_batch(np.asarray(img))[0]
 

@@ -67,7 +67,9 @@ def test_engine_features_and_pca(tiny_gguf, rng):
 
     vis = engine.pca_visualization(img)
     assert vis.dtype == np.uint8
-    assert vis.shape == (gh * 14, gw * 14, 3)
+    # original-size output (reference nearest-resizes the grid back to the
+    # input size, inference.cpp:89-91)
+    assert vis.shape == (100, 120, 3)
     assert vis.min() == 0 and vis.max() == 255  # min-max normalized
 
 
@@ -98,7 +100,7 @@ def test_engine_pca_batched_mixed_sizes(tiny_gguf, rng):
         rng.integers(0, 256, (100, 120, 3), dtype=np.uint8),
     ]
     vis = engine.pca_visualizations(imgs)
-    assert [v.shape for v in vis] == [(112, 126, 3), (70, 70, 3), (112, 126, 3)]
+    assert [v.shape for v in vis] == [(100, 120, 3), (64, 64, 3), (100, 120, 3)]
     for i in (0, 1):
         np.testing.assert_array_equal(vis[i], engine.pca_visualization(imgs[i]))
 
@@ -112,7 +114,7 @@ def test_engine_features_518px(tiny_gguf, rng):
     assert feats["grid"] == (38, 38)
     assert feats["patch_tokens"].shape == (1, 38 * 38, TINY.hidden_size)
     vis = engine.pca_visualization(img)
-    assert vis.shape == (38 * 14, 38 * 14, 3)
+    assert vis.shape == (518, 518, 3)  # original size (== 37x37 grid input)
 
 
 def test_do_quantize_rule():

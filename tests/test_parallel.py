@@ -168,7 +168,8 @@ def test_engine_fused_quant_data_parallel_matches_single(
     )
     # single-frame PCA path broadcasts over the mesh
     vis = sharded.pca_visualization(imgs[0])
-    assert vis.shape == (6 * 14, 6 * 14, 3) and vis.dtype == np.uint8  # Q4 grid
+    # original-size output (reference contract, inference.cpp:89-91)
+    assert vis.shape == (70, 70, 3) and vis.dtype == np.uint8
 
 
 @pytest.mark.parametrize("qtype", ["q4_0", "q5_1"])
@@ -202,7 +203,7 @@ def test_engine_fused_quant_tensor_parallel_matches_single(
         rtol=2e-5, atol=2e-6,
     )
     vis = eng.pca_visualization(imgs[0])
-    assert vis.shape == (6 * 14, 6 * 14, 3)
+    assert vis.shape == (70, 70, 3)  # original-size output
 
 
 def test_fused_quant_tp_falls_back_on_indivisible_heads(tmp_path, rng):

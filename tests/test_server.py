@@ -75,7 +75,8 @@ def test_features_endpoint(server, rng):
 def test_pca_endpoint_returns_png(server, rng):
     """VERDICT r2 item 9: /pca serves the reference feature mode's actual
     product (the uint8 PCA visualization, /root/reference/inference.cpp:76-99)
-    as PNG bytes at the preprocessed size (one extra patch per axis, Q4)."""
+    as PNG bytes at the ORIGINAL image size (the reference nearest-resizes
+    the grid back to original_size, inference.cpp:89-91)."""
     req = urllib.request.Request(
         f"http://127.0.0.1:{server.port}/pca", data=_jpg(rng, 96, 128), method="POST"
     )
@@ -84,8 +85,7 @@ def test_pca_endpoint_returns_png(server, rng):
         png = resp.read()
     img = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
     assert img is not None
-    gh, gw = 96 // 14 + 1, 128 // 14 + 1
-    assert img.shape == (gh * 14, gw * 14, 3)
+    assert img.shape == (96, 128, 3)
     assert img.dtype == np.uint8
 
 
