@@ -299,15 +299,48 @@ def embed_tokens(
 def forward_features(
     params: dict, x: jnp.ndarray, config: DinoConfig, opts: ModelOptions
 ) -> jnp.ndarray:
-    """(B, H, W, 3) preprocessed -> final-normed tokens (B, 1+R+N, D) in f32."""
+    """(B, H, W, 3) preprocessed -> final-normed tokens (B, 1+R+N, D) in f32.
+
+    Softmax-core safety (round 4): when the attention path uses the 3-pass
+    CLS-shift core (ops/fused_attention.py::_head_softmax_pv), the layers are
+    traced with the PER-CALL rescue disabled (its flag reduce was measured to
+    cost the core's whole win) and replaced by ONE whole-stack check here: an
+    exp2 overflow provably propagates as inf/NaN through proj, LayerScale,
+    residual, LN and GELU to the scan output, so isfinite(sum(tokens)) after
+    the scan catches an overflow in ANY layer, and the lax.cond re-runs the
+    stack with the exact row-max core only then. Trained checkpoints pay one
+    ~25 MB reduce per forward (~0.15%); rogue checkpoints get exact results."""
     tokens = embed_tokens(params, x, config, opts)
 
-    def body(carry, layer):
-        return encoder_layer(carry, layer, config, opts), None
+    from dinov2_tpu.ops.attention import resolve_attention_path
+    from dinov2_tpu.ops.fused_attention import (
+        _aug_active,
+        _sm3_mode,
+        sm3_override,
+    )
 
-    if opts.remat:
-        body = jax.checkpoint(body)
-    tokens, _ = jax.lax.scan(body, tokens, params["layers"])
+    def run_layers(tokens, mode=None):
+        def body(carry, layer):
+            return encoder_layer(carry, layer, config, opts), None
+
+        if opts.remat:
+            body = jax.checkpoint(body)
+        with sm3_override(mode):
+            out, _ = jax.lax.scan(body, tokens, params["layers"])
+        return out
+
+    b, t, d = tokens.shape
+    path = resolve_attention_path(opts.flash_attention, t, d, tokens.dtype.itemsize)
+    if _sm3_mode() == "rescue" and (
+        (path == "slab" and _aug_active(t)) or path == "flash"
+    ):
+        fast = run_layers(tokens, "unsafe")
+        ok = jnp.isfinite(jnp.sum(fast.astype(jnp.float32)))
+        tokens = jax.lax.cond(
+            ok, lambda: fast, lambda: run_layers(tokens, "max")
+        )
+    else:
+        tokens = run_layers(tokens)
     tokens = layer_norm(
         tokens.astype(jnp.float32), params["final_norm"], config.eps
     )

@@ -92,7 +92,9 @@ def _attn_kernel(*refs, scale, t_actual, bk, with_lse=False, kv_axis=2):
             lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
-def _attn_kernel_1kv(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, nh):
+def _attn_kernel_1kv(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, ok_ref, *, scale, nh, safe, check
+):
     """Single-KV-block specialization: when one KV block covers the whole
     (padded) sequence there is no online rescaling — no running m/l scratch,
     no alpha, no init/finish phases. The flash kernel is VPU-bound at hd=64
@@ -104,12 +106,21 @@ def _attn_kernel_1kv(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, nh):
     cell (unrolled) lets Mosaic interleave one head's VPU softmax chain with
     the next head's MXU matmuls — one head per cell leaves the two units
     strictly serialized by data dependence."""
-    from dinov2_tpu.ops.fused_attention import _head_softmax_pv
+    from dinov2_tpu.ops.fused_attention import (
+        _check_finite,
+        _head_softmax_pv,
+        _write_flag,
+    )
 
+    ok = jnp.int32(1)
     for hh in range(nh):
-        o_ref[hh] = _head_softmax_pv(
-            q_ref[hh], k_ref[hh], v_ref[hh], scale, bias_ref[...]
-        ).astype(o_ref.dtype)
+        r = _head_softmax_pv(
+            q_ref[hh], k_ref[hh], v_ref[hh], scale, bias_ref[...], safe=safe
+        )
+        if check:
+            ok = ok & _check_finite(r)
+        o_ref[hh] = r.astype(o_ref.dtype)
+    _write_flag(ok_ref, ok)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -206,29 +217,52 @@ def _flash_forward(q, k, v, scale, block_q=2048, interpret=None, with_lse=False)
         for cand in (2, 4):
             if (b * h) % cand == 0 and cand * tp * hd * 2 * q.dtype.itemsize * 2 < 2**21:
                 nh = cand
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel_1kv, scale=scale, nh=nh),
-            grid=(b * h // nh, tp // bq),
-            in_specs=[
-                pl.BlockSpec((nh, bq, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((nh, tp, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((nh, tp, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tp, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (nh, bq, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((b * h, tp, hd), q.dtype),
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=4 * b * h * tp * tp * hd,
-                bytes_accessed=4 * b * h * tp * hd * q.dtype.itemsize,
-                transcendentals=b * h * tp * tp,
-            ),
-        )(qf, kf, vf, bias)
+
+        from dinov2_tpu.ops.fused_attention import _rescue, _sm3_mode
+
+        def call(safe):
+            check = not safe and _sm3_mode() == "rescue"
+            return pl.pallas_call(
+                functools.partial(
+                    _attn_kernel_1kv, scale=scale, nh=nh, safe=safe, check=check
+                ),
+                grid=(b * h // nh, tp // bq),
+                in_specs=[
+                    pl.BlockSpec((nh, bq, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nh, tp, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nh, tp, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tp, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec(
+                        (nh, bq, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+                    ),
+                    # one (8, 128) int32 flag tile per cell, 2D grid flattened
+                    # (see fused_attention._flag_specs for the layout rules)
+                    pl.BlockSpec(
+                        (8, 128),
+                        lambda i, j, _g2=tp // bq: (i * _g2 + j, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((b * h, tp, hd), q.dtype),
+                    jax.ShapeDtypeStruct(
+                        ((b * h // nh) * (tp // bq) * 8, 128), jnp.int32
+                    ),
+                ),
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel"),
+                ),
+                cost_estimate=pl.CostEstimate(
+                    flops=4 * b * h * tp * tp * hd,
+                    bytes_accessed=4 * b * h * tp * hd * q.dtype.itemsize,
+                    transcendentals=b * h * tp * tp,
+                ),
+            )(qf, kf, vf, bias)
+
+        out = _rescue(call, t, has_bias=True)
         return out[:, :t].reshape(b, h, t, hd).transpose(0, 2, 1, 3)
 
     out_specs = pl.BlockSpec((1, bq, hd), lambda i, j, _: (i, j, 0), memory_space=pltpu.VMEM)

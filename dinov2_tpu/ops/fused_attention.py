@@ -46,19 +46,21 @@ _LOG2E = 1.4426950408889634
 
 
 def _aug_min_t() -> int:
-    """Sequence length at/above which the MXU-augmented softmax core is used
-    (see _head_softmax_pv); below it the classic VPU row-sum core runs.
+    """Sequence length at/above which the SLAB kernels use the MXU-augmented
+    softmax core (see _head_softmax_pv); below it the classic VPU row-sum
+    core runs. The 1kv flash path always uses the augmented core regardless
+    of this gate: its pad-mask bias rides the scores contraction, and the
+    classic core has no masking (the gate governs only the slab kernels).
 
     Measured on v5e (ViT-B b64 img/s at T=257 / per-layer attention ms at
-    T=1370): classic 2978 / 2.06; 4-pass augmented 2946 / ~1.76; 3-pass
-    CLS-shift augmented 3104 / 1.72 — but the 3-pass variant silently NaNs
-    when a row's logit spread exceeds 128 log2 units (untrained/rogue
-    checkpoints), so the SAFE per-shape optimum ships: classic below 512
-    tokens, 4-pass augmented at/above. Read at trace time;
-    DINOV2_TPU_AUG_MIN_T overrides (0 = always augmented)."""
+    T=1370): classic 2978 / 2.06; 4-pass (row-max) augmented 2958 / ~1.76;
+    3-pass CLS-shift augmented 3105 / 1.72. With the flag+rescue safety
+    (round 4) the 3-pass core is safe at every shape, so the default is 0 =
+    always augmented. Read at trace time; DINOV2_TPU_AUG_MIN_T overrides
+    (e.g. 512 restores the round-3 gate for A/Bs)."""
     import os
 
-    return int(os.environ.get("DINOV2_TPU_AUG_MIN_T", "512"))
+    return int(os.environ.get("DINOV2_TPU_AUG_MIN_T", "0"))
 
 
 def _is_pow2(x: float) -> bool:
@@ -68,7 +70,7 @@ def _is_pow2(x: float) -> bool:
     return x > 0 and m == 0.5
 
 
-def _head_softmax_pv(q, k, v, scale, bias_col=None) -> jnp.ndarray:
+def _head_softmax_pv(q, k, v, scale, bias_col=None, safe=False) -> jnp.ndarray:
     """One head's attention core, shared by every slab kernel and the
     single-KV flash path: (t, hd) q/k/v -> (t, hd) f32
     softmax(q·kᵀ·scale [+ bias])·v.
@@ -84,15 +86,14 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None) -> jnp.ndarray:
       - both augmentations pad the contraction to the full 128 MXU lanes
         (zeros contribute exactly 0), lifting the hd=64 GEMMs from 50% to
         full lane utilization.
-    Remaining (t, t) VPU passes: max, sub, mul-LOG2E, exp2, astype — 5.
-    Power-of-two scales (head_dim 64 -> 1/8 for every DINOv2 size) fold
-    EXACTLY into bf16 q (pure exponent shift); exp2 is the TPU-native
-    transcendental; the max subtraction is kept (exact safe softmax).
+    Remaining (t, t) VPU passes: sub, exp2, astype — 3 (the CLS-column shift
+    replaces the row-max reduce; see the SAFETY note below). Power-of-two
+    scales (head_dim 64 -> 1/8 for every DINOv2 size) fold EXACTLY into bf16
+    q (pure exponent shift); exp2 is the TPU-native transcendental.
 
-    The augmentation only pays off where the VPU dominates — at short
-    sequences (classify T=257) the doubled PV output lanes cost more than
-    the saved row-sum pass (measured −1.4% on the ViT-B b64 bench), so
-    below _AUG_MIN_T the classic VPU-sum core is used."""
+    With the 3-pass core the augmented branch wins at EVERY measured shape
+    (ViT-B b64 T=257: 3105 vs 2978 classic), so _aug_min_t defaults to 0;
+    DINOV2_TPU_AUG_MIN_T=512 restores the round-3 classic-below-512 gate."""
     t, hd = q.shape
     tk = k.shape[0]
     if _is_pow2(scale):
@@ -114,16 +115,37 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
         )
         return pv / l
-    # Augmented branch, 4 full-tile VPU passes (max, sub, exp2, astype):
+    # Augmented branch, 3 full-tile VPU passes (sub, exp2, astype):
     # log2(e) folds into q alongside any residual scale (one (t, hd) pass,
     # 22x smaller than the tile, replacing the full-tile *LOG2E multiply; in
     # bf16 this rounds the combined scale to 8 bits — a <=2^-9 uniform
     # logit-temperature perturbation, inside the existing bf16 storage
-    # noise; exact in f32). The row-max subtraction is KEPT: a CLS-column
-    # shift (softmax is shift-invariant) measured ~2% faster at T=1370 but
-    # silently NaNs whenever a row's logit spread exceeds 128 log2 units —
-    # fine for trained ViTs, a correctness cliff for untrained/rogue
-    # checkpoints (reproduced by the synthetic-weight tests).
+    # noise; exact in f32).
+    #
+    # The per-row shift is the CLS-COLUMN score s[:, 0] instead of the row
+    # max (softmax is shift-invariant, so ANY finite per-row shift is exact
+    # in f32 — and key 0 is never a padded column: it is CLS in both the
+    # slab kernels and the 1kv flash block). That deletes the full-tile
+    # max-reduce — measured on v5e ViT-B b64: 3105 img/s (this 3-pass core)
+    # vs 2978 classic / 2958 with the max-reduce. The shift is the (t, 1)
+    # lane-0 slice of the scores tile (the same register pattern as a
+    # keepdims reduce result; a bf16 matmul against k_aug's CLS row fails
+    # Mosaic verification — bf16->f32 vector.broadcast on the 1-row
+    # operand).
+    #
+    # SAFETY (VERDICT r3 item 1): when a row's logit spread vs CLS exceeds
+    # 128 log2 units (untrained/rogue checkpoints — the synthetic std-0.5
+    # fixtures hit ±370), exp2(s - s0) overflows to inf and the result goes
+    # inf/NaN. The normalizer always contains the CLS term exp2(0)=1, so
+    # l >= 1 and 0/0 underflow is impossible — overflow-to-non-finite is the
+    # ONLY failure mode, and it always lands in the kernel's output. The
+    # rescue is OUTSIDE the kernel: each kernel ANDs an isfinite check over
+    # its per-image result into a per-cell flag tile (~1/12 of a tile pass),
+    # and the wrapper re-runs the whole pallas_call with safe=True (the
+    # row-max shift) under an XLA-level lax.cond only when a flag tripped.
+    # An IN-kernel lax.cond fallback was measured at 2540 img/s — Mosaic's
+    # cond breaks the per-head MXU/VPU software pipelining — vs 3105 for
+    # flag+rescue; DINOV2_TPU_SM3 picks {rescue (default), unsafe, max}.
     c = _LOG2E if post_scale is None else post_scale * _LOG2E
     q = q * jnp.asarray(c, q.dtype)
     aug = -(-(hd + 1) // 128) * 128
@@ -142,16 +164,68 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None) -> jnp.ndarray:
     s = jax.lax.dot_general(
         q_aug, k_aug, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # log2-domain scores; masked cols = bias (-BIG)
-    p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
     v_aug = jnp.concatenate(
         [v, jnp.ones((tk, 1), v.dtype), jnp.zeros((tk, aug - hd - 1), v.dtype)],
         axis=1,
     )
+    if safe or _sm3_mode() == "max":
+        shift = jnp.max(s, axis=-1, keepdims=True)  # exact, can't overflow
+    else:
+        shift = s[:, 0:1]  # (t, 1) CLS-column scores
+    p = jnp.exp2(s - shift)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     return pv[:, :hd] / pv[:, hd : hd + 1]
+
+
+_SM3_OVERRIDE: str | None = None
+
+
+def _sm3_mode() -> str:
+    """Safety mode of the 3-pass softmax core (read at trace time):
+    'rescue' (default — unsafe core + per-cell overflow flag + XLA-level
+    safe re-run per kernel call), 'unsafe' (no flag/rescue), 'max' (always
+    the exact row-max core, 2958 img/s ViT-B b64).
+
+    The per-call flag check was measured to cost the whole 3-pass win at
+    T=257 (2977 vs 3105 img/s — the scalar reduce serializes against the
+    per-head pipeline), so the model forward does NOT use it: forward
+    _features traces its layers under sm3_override('unsafe'), checks
+    isfinite(sum(tokens)) ONCE after the layer scan (overflow provably
+    propagates through proj/LN/GELU/residual to the final tokens), and
+    lax.cond-reruns the whole stack under sm3_override('max') iff it
+    tripped (models/vit.py::forward_features). Direct ops-level callers
+    keep the per-call rescue."""
+    if _SM3_OVERRIDE is not None:
+        return _SM3_OVERRIDE
+    import os
+
+    return os.environ.get("DINOV2_TPU_SM3", "rescue")
+
+
+class sm3_override:
+    """Trace-time override of the softmax-core safety mode (see _sm3_mode).
+    `None` leaves the ambient mode in place."""
+
+    def __init__(self, mode: str | None):
+        self.mode = mode
+
+    def __enter__(self):
+        global _SM3_OVERRIDE
+        self.prev = _SM3_OVERRIDE
+        if self.mode is not None:
+            _SM3_OVERRIDE = self.mode
+
+    def __exit__(self, *exc):
+        global _SM3_OVERRIDE
+        _SM3_OVERRIDE = self.prev
+
+
+def _check_finite(acc) -> jnp.ndarray:
+    """Per-cell overflow predicate as an int32 scalar (for the SMEM flag)."""
+    return jnp.all(jnp.isfinite(acc)).astype(jnp.int32)
 
 
 def _pick_image_blocks(b: int, cost_fn, budget: int | None = None) -> int:
@@ -176,16 +250,20 @@ def _pick_image_blocks(b: int, cost_fn, budget: int | None = None) -> int:
     return nb
 
 
-def _slab_kernel(qkv_ref, o_ref, *, num_heads, scale, d, nb):
+def _slab_kernel(qkv_ref, o_ref, ok_ref, *, num_heads, scale, d, nb, safe, check):
     hd = d // num_heads
+    ok = jnp.int32(1)
     for b in range(nb):
         for h in range(num_heads):
             q = qkv_ref[b, :, h * hd : (h + 1) * hd]
             k = qkv_ref[b, :, d + h * hd : d + (h + 1) * hd]
             v = qkv_ref[b, :, 2 * d + h * hd : 2 * d + (h + 1) * hd]
             o_ref[b, :, h * hd : (h + 1) * hd] = _head_softmax_pv(
-                q, k, v, scale
+                q, k, v, scale, safe=safe
             ).astype(o_ref.dtype)
+        if check:
+            ok = ok & _check_finite(o_ref[b])
+    _write_flag(ok_ref, ok)
 
 
 def _block_cost(nb: int, t: int, d: int, itemsize: int = 2) -> int:
@@ -224,33 +302,83 @@ def slab_attention(
     return _slab_forward(qkv, num_heads, scale, interpret)
 
 
+def _aug_active(t: int, has_bias: bool = False) -> bool:
+    """Trace-time: does this shape run the augmented (CLS-shift) core?"""
+    return has_bias or t >= _aug_min_t()
+
+
+def _rescue(call, t: int, has_bias: bool = False):
+    """Flag-based overflow rescue around a slab pallas_call (see the SAFETY
+    note in _head_softmax_pv): `call(safe)` -> (out, flags). Runs the fast
+    CLS-shift kernel; iff any per-cell flag tripped (rogue logits overflowed
+    exp2), re-runs the whole call with the exact row-max core under an
+    XLA-level lax.cond — one branch executes at runtime, so trained
+    checkpoints pay only the in-kernel isfinite AND (~1/12 tile pass)."""
+    mode = _sm3_mode()
+    if mode == "max" or not _aug_active(t, has_bias):
+        return call(True)[0] if mode == "max" else call(False)[0]
+    out, flags = call(False)
+    if mode == "unsafe":
+        return out
+    return jax.lax.cond(
+        jnp.min(flags) == 1, lambda: out, lambda: call(True)[0]
+    )
+
+
+def _flag_specs(grid: int):
+    """(out_spec, out_shape) for the per-cell overflow flag.
+
+    One (8, 128) int32 VMEM tile per grid cell — the minimum legal block
+    (Mosaic's divisibility rule applies to outputs in every memory space; a
+    (1, 1) SMEM block of a (G, 1) array is rejected, and a single shared
+    SMEM scalar would be a cross-cell write race under 'parallel'
+    semantics). 4 KB/cell of writeback is noise next to the slabs."""
+    spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return spec, jax.ShapeDtypeStruct((grid * 8, 128), jnp.int32)
+
+
+def _write_flag(ok_ref, ok) -> None:
+    ok_ref[...] = jnp.broadcast_to(ok, ok_ref.shape).astype(jnp.int32)
+
+
 def _slab_forward(qkv, num_heads, scale, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, three_d = qkv.shape
     d = three_d // 3
     nb = _pick_nb(b, t, d, qkv.dtype.itemsize)
+    flag_spec, flag_shape = _flag_specs(b // nb)
 
-    return pl.pallas_call(
-        functools.partial(_slab_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb),
-        grid=(b // nb,),
-        in_specs=[
-            pl.BlockSpec((nb, t, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, t, d), qkv.dtype),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * t * t * d,
-            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
-            transcendentals=b * num_heads * t * t,
-        ),
-    )(qkv)
+    def call(safe):
+        check = not safe and _sm3_mode() == "rescue" and _aug_active(t)
+        return pl.pallas_call(
+            functools.partial(
+                _slab_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb,
+                safe=safe, check=check,
+            ),
+            grid=(b // nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (nb, t, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=(
+                pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                flag_spec,
+            ),
+            out_shape=(jax.ShapeDtypeStruct((b, t, d), qkv.dtype), flag_shape),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * t * t * d,
+                bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+                transcendentals=b * num_heads * t * t,
+            ),
+        )(qkv)
+
+    return _rescue(call, t)
 
 
 def _slab_reference(qkv, num_heads, scale):
@@ -274,16 +402,18 @@ def _slab_reference(qkv, num_heads, scale):
 
 
 def _slab_proj_kernel(
-    x_ref, qkv_ref, w_ref, bb_ref, ls_ref, o_ref, a_scr, *, num_heads, scale, d, nb
+    x_ref, qkv_ref, w_ref, bb_ref, ls_ref, o_ref, ok_ref, a_scr,
+    *, num_heads, scale, d, nb, safe, check,
 ):
     hd = d // num_heads
+    ok = jnp.int32(1)
     for b in range(nb):
         for h in range(num_heads):
             q = qkv_ref[b, :, h * hd : (h + 1) * hd]
             k = qkv_ref[b, :, d + h * hd : d + (h + 1) * hd]
             v = qkv_ref[b, :, 2 * d + h * hd : 2 * d + (h + 1) * hd]
             a_scr[b, :, h * hd : (h + 1) * hd] = _head_softmax_pv(
-                q, k, v, scale
+                q, k, v, scale, safe=safe
             ).astype(a_scr.dtype)
         # proj + bias + LayerScale + residual, numerics-ordered exactly like the
         # XLA path (ops/qmatmul.py::apply_linear + models/vit.py): f32 matmul
@@ -292,8 +422,11 @@ def _slab_proj_kernel(
             a_scr[b], w_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if check:  # attention inf/NaN propagates through the proj matmul
+            ok = ok & _check_finite(acc)
         y = acc.astype(o_ref.dtype) + bb_ref[:].astype(o_ref.dtype)
         o_ref[b] = x_ref[b] + y * ls_ref[:].astype(o_ref.dtype)
+    _write_flag(ok_ref, ok)
 
 
 def _proj_block_cost(nb: int, t: int, d: int, itemsize: int = 2) -> int:
@@ -335,33 +468,41 @@ def _slab_block_forward(x, qkv, w_proj, b_proj, ls1, num_heads, scale, interpret
         b, lambda nb: _proj_block_cost(nb, t, d, qkv.dtype.itemsize), _VMEM_BUDGET
     )
 
-    return pl.pallas_call(
-        functools.partial(
-            _slab_proj_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb
-        ),
-        grid=(b // nb,),
-        in_specs=[
-            pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, t, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((nb, t, d), qkv.dtype)],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * t * t * d + 2 * b * t * d * d,
-            bytes_accessed=(qkv.size + 2 * x.size) * qkv.dtype.itemsize + d * d * 2,
-            transcendentals=b * num_heads * t * t,
-        ),
-    )(x, qkv, w_proj.astype(qkv.dtype), b_proj.reshape(1, d), ls1.reshape(1, d))
+    flag_spec, flag_shape = _flag_specs(b // nb)
+
+    def call(safe):
+        check = not safe and _sm3_mode() == "rescue" and _aug_active(t)
+        return pl.pallas_call(
+            functools.partial(
+                _slab_proj_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb,
+                safe=safe, check=check,
+            ),
+            grid=(b // nb,),
+            in_specs=[
+                pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, t, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                flag_spec,
+            ),
+            out_shape=(jax.ShapeDtypeStruct((b, t, d), x.dtype), flag_shape),
+            scratch_shapes=[pltpu.VMEM((nb, t, d), qkv.dtype)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * t * t * d + 2 * b * t * d * d,
+                bytes_accessed=(qkv.size + 2 * x.size) * qkv.dtype.itemsize + d * d * 2,
+                transcendentals=b * num_heads * t * t,
+            ),
+        )(x, qkv, w_proj.astype(qkv.dtype), b_proj.reshape(1, d), ls1.reshape(1, d))
+
+    return _rescue(call, t)
 
 
 # ---------------------------------------------------------------------------
@@ -381,9 +522,10 @@ def _slab_block_forward(x, qkv, w_proj, b_proj, ls1, num_heads, scale, interpret
 
 def _slab_layer_kernel(
     x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wp_ref, bp_ref, ls_ref,
-    o_ref, a_scr, *, num_heads, scale, d, nb, eps,
+    o_ref, ok_ref, a_scr, *, num_heads, scale, d, nb, eps, safe, check,
 ):
     hd = d // num_heads
+    ok = jnp.int32(1)
     for b in range(nb):
         xb = x_ref[b]  # (t, d)
         x32 = xb.astype(jnp.float32)
@@ -401,14 +543,17 @@ def _slab_layer_kernel(
             k = qkv[:, d + hh * hd : d + (hh + 1) * hd]
             v = qkv[:, 2 * d + hh * hd : 2 * d + (hh + 1) * hd]
             a_scr[b, :, hh * hd : (hh + 1) * hd] = _head_softmax_pv(
-                q, k, v, scale
+                q, k, v, scale, safe=safe
             ).astype(a_scr.dtype)
         acc = jax.lax.dot_general(
             a_scr[b], wp_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if check:  # attention inf/NaN propagates through the proj matmul
+            ok = ok & _check_finite(acc)
         y = acc.astype(o_ref.dtype) + bp_ref[:].astype(o_ref.dtype)
         o_ref[b] = xb + y * ls_ref[:].astype(o_ref.dtype)
+    _write_flag(ok_ref, ok)
 
 
 def _layer_block_cost(nb: int, t: int, d: int, itemsize: int = 2) -> int:
@@ -482,40 +627,47 @@ def _slab_layer_forward(
     )
 
     row = lambda v: v.reshape(1, -1).astype(jnp.float32)
-    return pl.pallas_call(
-        functools.partial(
-            _slab_layer_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb,
-            eps=eps,
-        ),
-        grid=(b // nb,),
-        in_specs=[
-            pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((nb, t, d), x.dtype)],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * t * t * d + 2 * b * t * d * (3 * d + d),
-            bytes_accessed=2 * x.size * x.dtype.itemsize + 4 * d * d * 2,
-            transcendentals=b * num_heads * t * t,
-        ),
-    )(
-        x, row(ln_scale), row(ln_bias), w_qkv.astype(x.dtype),
-        row(b_qkv), w_proj.astype(x.dtype), row(b_proj), row(ls1),
-    )
+    flag_spec, flag_shape = _flag_specs(b // nb)
+
+    def call(safe):
+        check = not safe and _sm3_mode() == "rescue" and _aug_active(t)
+        return pl.pallas_call(
+            functools.partial(
+                _slab_layer_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb,
+                eps=eps, safe=safe, check=check,
+            ),
+            grid=(b // nb,),
+            in_specs=[
+                pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                flag_spec,
+            ),
+            out_shape=(jax.ShapeDtypeStruct((b, t, d), x.dtype), flag_shape),
+            scratch_shapes=[pltpu.VMEM((nb, t, d), x.dtype)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * t * t * d + 2 * b * t * d * (3 * d + d),
+                bytes_accessed=2 * x.size * x.dtype.itemsize + 4 * d * d * 2,
+                transcendentals=b * num_heads * t * t,
+            ),
+        )(
+            x, row(ln_scale), row(ln_bias), w_qkv.astype(x.dtype),
+            row(b_qkv), w_proj.astype(x.dtype), row(b_proj), row(ls1),
+        )
+
+    return _rescue(call, t)
 
 
 def _slab_layer_reference(

@@ -40,9 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dinov2_tpu.ops.fused_attention import (
     MAX_SLAB_TOKENS,
+    _aug_active,
+    _check_finite,
+    _flag_specs,
     _head_softmax_pv,
     _layer_budget,
     _pick_image_blocks,
+    _rescue,
+    _sm3_mode,
+    _write_flag,
 )
 from dinov2_tpu.ops.pallas_qmatmul import QK, _fifth_bits
 
@@ -175,7 +181,7 @@ def _take_ql_refs(refs, i: int, meta: dict) -> tuple[dict, int]:
 
 
 def _quant_layer_kernel(
-    *refs, num_heads, scale, d, nb, eps, qkv_meta, proj_meta
+    *refs, num_heads, scale, d, nb, eps, qkv_meta, proj_meta, safe, check
 ):
     x_ref, lns_ref, lnb_ref = refs[0], refs[1], refs[2]
     i = 3
@@ -184,8 +190,10 @@ def _quant_layer_kernel(
     i += 1
     proj_refs, i = _take_ql_refs(refs, i, proj_meta)
     bp_ref, ls_ref = refs[i], refs[i + 1]
-    o_ref, a_scr, wq_scr, wp_scr = refs[i + 2], refs[i + 3], refs[i + 4], refs[i + 5]
+    o_ref, ok_ref = refs[i + 2], refs[i + 3]
+    a_scr, wq_scr, wp_scr = refs[i + 4], refs[i + 5], refs[i + 6]
     hd = d // num_heads
+    ok = jnp.int32(1)
 
     # weights dequantize ONCE per pallas_call (persistent VMEM scratch); the
     # grid dimension is "arbitrary" so cell 0 is guaranteed to run first
@@ -212,14 +220,17 @@ def _quant_layer_kernel(
             k = qkv[:, d + hh * hd : d + (hh + 1) * hd]
             v = qkv[:, 2 * d + hh * hd : 2 * d + (hh + 1) * hd]
             a_scr[b, :, hh * hd : (hh + 1) * hd] = _head_softmax_pv(
-                q, k, v, scale
+                q, k, v, scale, safe=safe
             ).astype(a_scr.dtype)
         acc = jax.lax.dot_general(
             a_scr[b], wp_scr[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if check:  # attention inf/NaN propagates through the proj matmul
+            ok = ok & _check_finite(acc)
         y = acc.astype(o_ref.dtype) + bp_ref[:].astype(o_ref.dtype)
         o_ref[b] = xb + y * ls_ref[:].astype(o_ref.dtype)
+    _write_flag(ok_ref, ok)
 
 
 def _quant_layer_cost(
@@ -290,35 +301,43 @@ def slab_layer_block_quant(
         *_ql_operands(proj_ql), row(b_proj), row(ls1),
     ]
 
-    return pl.pallas_call(
-        functools.partial(
-            _quant_layer_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb,
-            eps=eps, qkv_meta=qkv_meta, proj_meta=proj_meta,
-        ),
-        grid=(b // nb,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((nb, t, d), x.dtype),  # attention output
-            pltpu.VMEM((3 * d, d), x.dtype),  # dequantized qkv weight
-            pltpu.VMEM((d, d), x.dtype),  # dequantized proj weight
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            # "arbitrary": cells run in order, so the cell-0 dequant is
-            # guaranteed to precede every use of the weight scratch
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * t * t * d + 2 * b * t * d * (3 * d + d),
-            bytes_accessed=2 * x.size * x.dtype.itemsize
-            + _ql_vmem_bytes(qkv_meta) + _ql_vmem_bytes(proj_meta),
-            transcendentals=b * num_heads * t * t,
-        ),
-    )(*operands)
+    flag_spec, flag_shape = _flag_specs(b // nb)
+
+    def call(safe):
+        check = not safe and _sm3_mode() == "rescue" and _aug_active(t)
+        return pl.pallas_call(
+            functools.partial(
+                _quant_layer_kernel, num_heads=num_heads, scale=scale, d=d, nb=nb,
+                eps=eps, qkv_meta=qkv_meta, proj_meta=proj_meta,
+                safe=safe, check=check,
+            ),
+            grid=(b // nb,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                flag_spec,
+            ),
+            out_shape=(jax.ShapeDtypeStruct((b, t, d), x.dtype), flag_shape),
+            scratch_shapes=[
+                pltpu.VMEM((nb, t, d), x.dtype),  # attention output
+                pltpu.VMEM((3 * d, d), x.dtype),  # dequantized qkv weight
+                pltpu.VMEM((d, d), x.dtype),  # dequantized proj weight
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                # "arbitrary": cells run in order, so the cell-0 dequant is
+                # guaranteed to precede every use of the weight scratch
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * t * t * d + 2 * b * t * d * (3 * d + d),
+                bytes_accessed=2 * x.size * x.dtype.itemsize
+                + _ql_vmem_bytes(qkv_meta) + _ql_vmem_bytes(proj_meta),
+                transcendentals=b * num_heads * t * t,
+            ),
+        )(*operands)
+
+    return _rescue(call, t)
 
 
 def quant_layer_reference(

@@ -72,25 +72,21 @@ def _stage_scan(layers: Any, tokens: jnp.ndarray, config, opts) -> jnp.ndarray:
     return out
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "opts", "mesh", "num_microbatches", "classify"),
-)
-def pipeline_forward(
+def _pipeline_tokens(
     params: Any,
     x: jnp.ndarray,
     config: DinoConfig,
     opts: ModelOptions,
     mesh: Mesh,
-    num_microbatches: int = 4,
-    classify: bool = False,
-) -> dict[str, jnp.ndarray]:
-    """Pipeline-parallel equivalent of models/vit.py::forward.
+    num_microbatches: int,
+) -> jnp.ndarray:
+    """The shard_map'd GPipe schedule: images -> pre-final-norm tokens.
 
-    x: (B, H, W, 3) preprocessed images, B % num_microbatches == 0.
-    Requires config.num_hidden_layers % mesh.shape['stage'] == 0.
-    Numerically identical to the sequential forward (same layer math, same
-    order — only the placement changes)."""
+    Shared by inference (pipeline_forward) and training
+    (make_pipeline_train_step) — the schedule is plain differentiable JAX
+    (ppermute/psum/where all have exact transposes), so jax.grad through this
+    function yields the pipeline BACKWARD schedule for free: cotangents ride
+    the inverted ppermute ring stage-by-stage in reverse."""
     n_stages = mesh.shape[STAGE]
     if config.num_hidden_layers % n_stages:
         raise ValueError(
@@ -129,10 +125,31 @@ def pipeline_forward(
         return buf.reshape(b, t, d)
 
     in_specs = (layer_pspecs(params), P())
-    tokens = jax.shard_map(
+    return jax.shard_map(
         staged, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
     )(params, x)
 
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "opts", "mesh", "num_microbatches", "classify"),
+)
+def pipeline_forward(
+    params: Any,
+    x: jnp.ndarray,
+    config: DinoConfig,
+    opts: ModelOptions,
+    mesh: Mesh,
+    num_microbatches: int = 4,
+    classify: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """Pipeline-parallel equivalent of models/vit.py::forward.
+
+    x: (B, H, W, 3) preprocessed images, B % num_microbatches == 0.
+    Requires config.num_hidden_layers % mesh.shape['stage'] == 0.
+    Numerically identical to the sequential forward (same layer math, same
+    order — only the placement changes)."""
+    tokens = _pipeline_tokens(params, x, config, opts, mesh, num_microbatches)
     tokens = layer_norm(tokens.astype(jnp.float32), params["final_norm"], config.eps)
     out = {
         "cls_token": tokens[:, 0],
@@ -141,3 +158,56 @@ def pipeline_forward(
     if classify:
         out["probs"] = forward_head(params, tokens, config, opts)
     return out
+
+
+def make_pipeline_train_step(
+    config: DinoConfig,
+    opts: ModelOptions,
+    mesh: Mesh,
+    optimizer: Any,
+    num_microbatches: int = 4,
+):
+    """Jitted classification train step over the stage mesh (GPipe fwd+bwd).
+
+    The reference has no training (SURVEY.md §2.3); the TP/DP/SP train step
+    lives in parallel/train.py. This composes the same loss/optimizer with the
+    pipeline schedule: grads flow backward through the stage hand-off because
+    _pipeline_tokens is differentiable end-to-end — XLA's transpose of the
+    ppermute ring IS the reverse pipeline, and stage-sharded layer params
+    receive stage-local gradients (cotangents of their shard_map block), while
+    replicated embed/head params get exact psum'd gradients (only stage 0's
+    embed path carries signal; the rest are zeroed by the inject `where`).
+
+    Returns (train_step, place): `place(params)` shards layers on 'stage' and
+    inits matching optimizer state; `train_step(params, opt_state, x, labels)`
+    -> (params, opt_state, metrics)."""
+    import optax
+
+    def loss_fn(params, x, labels):
+        tokens = _pipeline_tokens(params, x, config, opts, mesh, num_microbatches)
+        tokens = layer_norm(
+            tokens.astype(jnp.float32), params["final_norm"], config.eps
+        )
+        from dinov2_tpu.models.vit import head_logits
+
+        logits = head_logits(params, tokens, config, opts)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+        acc = (logits.argmax(-1) == labels).mean()
+        return loss, acc
+
+    def train_step(params, opt_state, x, labels):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, labels
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "accuracy": acc}
+
+    def place(params):
+        params = place_pipeline_params(params, mesh)
+        opt_state = jax.jit(optimizer.init)(params)
+        return params, opt_state
+
+    return jax.jit(train_step, donate_argnums=(0, 1)), place

@@ -58,9 +58,64 @@ def _build_local(size: str, registers: bool, classifier: bool):
     return cls(cfg)
 
 
+def _find_auto_checkpoint() -> tuple[Path | None, str]:
+    """Locate a real pretrained DINOv2 checkpoint without network access.
+
+    Order: $DINOV2_TPU_HF_DIR (a model dir with config.json, or an HF-cache
+    root), then the standard HF caches ($HF_HOME, ~/.cache/huggingface).
+    Returns (model_dir, reason-if-none)."""
+    import os
+
+    def is_model_dir(d: Path) -> bool:
+        return (d / "config.json").exists() and any(
+            d.glob("*.safetensors")
+        ) or (d / "pytorch_model.bin").exists()
+
+    def scan_cache(root: Path) -> Path | None:
+        hub = root / "hub" if (root / "hub").exists() else root
+        for repo in sorted(hub.glob("models--*dinov2*")):
+            for snap in sorted((repo / "snapshots").glob("*")):
+                if is_model_dir(snap):
+                    return snap
+        return None
+
+    env_dir = os.environ.get("DINOV2_TPU_HF_DIR")
+    tried = []
+    if env_dir:
+        d = Path(env_dir)
+        if is_model_dir(d):
+            return d, ""
+        found = scan_cache(d) if d.exists() else None
+        if found:
+            return found, ""
+        tried.append(f"DINOV2_TPU_HF_DIR={env_dir} ({'no config.json/weights found' if d.exists() else 'does not exist'})")
+    for root in (
+        Path(os.environ.get("HF_HOME", "")) if os.environ.get("HF_HOME") else None,
+        Path.home() / ".cache" / "huggingface",
+    ):
+        if root is None:
+            continue
+        if not root.exists():
+            tried.append(f"{root} (absent)")
+            continue
+        found = scan_cache(root)
+        if found:
+            return found, ""
+        tried.append(f"{root} (no dinov2 snapshots)")
+    return None, "no real DINOv2 checkpoint found; tried: " + "; ".join(tried)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_name", default="facebook/dinov2-small-imagenet1k-1-layer")
+    p.add_argument(
+        "--auto", action="store_true",
+        help="driver-runnable real-weights gate (VERDICT r3 item 3): "
+        "auto-detect a cached HF checkpoint ($DINOV2_TPU_HF_DIR or the HF "
+        "cache); if found, run the full f32 parity check plus bf16 and "
+        "q4_0/q8_0 quantized-inference legs on the real weights and exit "
+        "non-zero on any breach; if not, print exactly why and exit 0.",
+    )
     p.add_argument("--gguf", default=None, help="existing GGUF (else convert fresh)")
     p.add_argument("--image", default=None, help="image to test on (else random input)")
     p.add_argument("--tolerance", type=float, default=5e-3)
@@ -80,6 +135,20 @@ def main(argv=None) -> int:
                    "JAX_PLATFORMS=cpu; this uses the config knob, which wins)")
     args = p.parse_args(argv)
 
+    if args.auto:
+        ckpt, reason = _find_auto_checkpoint()
+        if ckpt is None:
+            print(f"SKIPPED: {reason}")
+            print(
+                "To run: set DINOV2_TPU_HF_DIR to a local "
+                "facebook/dinov2-* model dir (config.json + weights), or "
+                "populate the HF cache."
+            )
+            return 0
+        args.model_name = str(ckpt)
+        args.local_random = None
+        print(f"auto: real checkpoint at {ckpt}", file=sys.stderr)
+
     if args.cpu:
         import jax
 
@@ -97,7 +166,15 @@ def main(argv=None) -> int:
         is_classifier = not args.backbone
         model = _build_local(args.local_random, args.registers, is_classifier)
     else:
-        is_classifier = "imagenet" in args.model_name
+        if Path(args.model_name).is_dir():
+            import json
+
+            arch = json.loads(
+                (Path(args.model_name) / "config.json").read_text()
+            ).get("architectures", [""])
+            is_classifier = any("Classification" in a for a in arch)
+        else:
+            is_classifier = "imagenet" in args.model_name
         if is_classifier:
             from transformers import AutoModelForImageClassification
 
@@ -172,6 +249,50 @@ def main(argv=None) -> int:
         report("cls_token", jax_out["cls_token"], hidden[:, 0])
         r = loaded.config.num_register_tokens
         report("patch_tokens", jax_out["patch_tokens"], hidden[:, 1 + r :])
+
+    if args.auto and ok:
+        # Real-weights robustness legs (VERDICT r3 item 3): the f32 parity
+        # above proves the compute path; these prove the REDUCED-precision
+        # paths hold up under real activation statistics — the exact unknown
+        # the synthetic outlier-channel test only proxies.
+        x_jax = jnp.asarray(pixel_values.numpy().transpose(0, 2, 3, 1))
+
+        def leg(name, loaded_leg, dtype, ref_vec):
+            nonlocal ok
+            o = forward(
+                loaded_leg.params, x_jax, loaded_leg.config,
+                ModelOptions(parity="hf", compute_dtype=dtype),
+                classify=is_classifier and loaded_leg.has_classifier,
+            )
+            if is_classifier:
+                got = np.asarray(o["probs"])[0]
+                good = int(got.argmax()) == int(ref_vec.argmax())
+                extra = f"top1 {'match' if good else 'DIFFERS'}"
+            else:
+                got = np.asarray(o["cls_token"])[0].astype(np.float64)
+                ref = ref_vec.astype(np.float64)
+                cos = float(
+                    (got @ ref)
+                    / max(np.linalg.norm(got) * np.linalg.norm(ref), 1e-30)
+                )
+                good = cos >= 0.99
+                extra = f"cls cosine {cos:.5f}"
+            ok &= good
+            print(f"{name:14s} {extra}  {'OK' if good else 'MISMATCH'}")
+
+        ref_vec = (
+            np.asarray(jax_out["probs"])[0]
+            if is_classifier
+            else np.asarray(jax_out["cls_token"])[0]
+        )
+        leg("bf16", loaded, jnp.bfloat16, ref_vec)
+        from dinov2_tpu.quant.quantize import quantize_gguf
+
+        for qt in ("q4_0", "q8_0"):
+            qpath = gguf_path.parent / f"verify.{qt}.gguf"
+            quantize_gguf(gguf_path, qpath, qt)
+            lq = load_params(qpath, dtype=jnp.float32, quant_mode="fused")
+            leg(qt, lq, jnp.float32, ref_vec)
 
     print("PARITY OK" if ok else "PARITY FAILED")
     return 0 if ok else 1

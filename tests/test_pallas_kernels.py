@@ -170,6 +170,29 @@ def test_slab_matches_vanilla_f32(b, t, heads, d, rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_slab_augmented_overflow_fallback(rng):
+    """The 3-pass CLS-shift softmax core (t >= aug gate) overflows exp2 when a
+    row's logit spread vs the CLS column exceeds 128 log2 units; the in-kernel
+    lax.cond fallback must recover the exact row-max result (the rogue-
+    checkpoint safety contract, VERDICT r3 item 1)."""
+    from dinov2_tpu.ops.fused_attention import _slab_reference, slab_attention
+
+    b, t, heads, d = 1, 640, 4, 256
+    qkv = np.asarray(rng.standard_normal((b, t, 3 * d)), np.float32)
+    # Blow up only the CLS KEY: s[:, 0] lands at ~±500 while every other
+    # logit stays O(1). Rows where s0 << row-max make exp2(s - s0) overflow
+    # (spread >> 128 log2 units) -> the lax.cond fallback must fire; the
+    # surviving softmax is well-conditioned, so the comparison stays tight.
+    qkv[:, 0, d : 2 * d] *= 500.0 / (d // heads) ** 0.5
+    qkv = jnp.asarray(qkv)
+    scale = 1.0 / (d // heads) ** 0.5
+    want = np.asarray(_slab_reference(qkv, heads, scale))
+    got = np.asarray(slab_attention(qkv, heads, scale, interpret=True))
+    assert np.isfinite(got).all()
+    # |s0| ~ 500 leaves ~1e-4 log2-domain rounding in the shifted scores
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_slab_multi_image_blocks(rng):
     """b=4 exercises the nb>1 grid (images-per-cell DMA amortization)."""
     from dinov2_tpu.ops.fused_attention import _pick_nb, _slab_reference, slab_attention

@@ -270,6 +270,77 @@ def test_pipeline_parallel_matches_sequential():
         )
 
 
+def test_pipeline_parallel_vit_s_dims_matches_sequential():
+    """Equivalence at real ViT-S channel geometry (d=384, 12 layers, 6 heads;
+    sequence kept short via 70px inputs): 4 stages x 4 microbatches must equal
+    the sequential forward (VERDICT r3 item 6)."""
+    from dinov2_tpu.parallel.pipeline import pipeline_forward, place_pipeline_params
+
+    cfg = DinoConfig(
+        hidden_size=384, num_hidden_layers=12, num_attention_heads=6,
+        num_classes=8, patch_size=14, img_size=70,
+    )
+    params = init_params(cfg, seed=5, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((8, 70, 70, 3)), jnp.float32
+    )
+    want = forward(params, x, cfg, OPTS, classify=True)
+
+    mesh = make_mesh({"stage": 4}, devices=jax.devices()[:4])
+    placed = place_pipeline_params(params, mesh)
+    got = pipeline_forward(
+        placed, x, cfg, OPTS, mesh, num_microbatches=4, classify=True
+    )
+    for key in ("cls_token", "probs"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_pipeline_train_step_matches_single():
+    """Grads must flow backward through the GPipe stage hand-off: a 4-stage
+    pipeline train step (8 layers, 4 microbatches) produces the same loss and
+    updated params as the unsharded sequential trainer (VERDICT r3 item 6)."""
+    import optax
+
+    from dinov2_tpu.parallel.pipeline import make_pipeline_train_step
+    from dinov2_tpu.parallel.train import make_trainer
+
+    cfg = DinoConfig(
+        hidden_size=64, num_hidden_layers=8, num_attention_heads=2,
+        num_classes=8, patch_size=14, img_size=70,
+    )
+    rng_l = np.random.default_rng(6)
+    images = rng_l.standard_normal((8, 70, 70, 3)).astype(np.float32)
+    labels = rng_l.integers(0, 8, (8,))
+
+    # sequential baseline (same optimizer hyperparameters)
+    params = init_params(cfg, seed=0, dtype=jnp.float32)
+    trainer = make_trainer(cfg, mesh=None, opts=OPTS, preprocess_in_step=False)
+    p_single, s_single = trainer.place(params)
+    p_single, _, m_single = trainer.step(p_single, s_single, images, labels)
+
+    mesh = make_mesh({"stage": 4}, devices=jax.devices()[:4])
+    optimizer = optax.adamw(1e-4, weight_decay=0.05)
+    step, place = make_pipeline_train_step(cfg, OPTS, mesh, optimizer,
+                                           num_microbatches=4)
+    p_pp, s_pp = place(init_params(cfg, seed=0, dtype=jnp.float32))
+    p_pp, s_pp, m_pp = step(p_pp, s_pp, jnp.asarray(images), jnp.asarray(labels))
+
+    assert np.isfinite(float(m_pp["loss"]))
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_single["loss"]),
+                               rtol=1e-5)
+    flat_a = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, p_single))
+    flat_b = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, p_pp))
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
+
+    # a second step must also run (donated buffers, optimizer state threading)
+    p_pp, s_pp, m2 = step(p_pp, s_pp, jnp.asarray(images), jnp.asarray(labels))
+    assert float(m2["loss"]) < float(m_pp["loss"]) + 1.0
+
+
 def test_pipeline_parallel_validations():
     from dinov2_tpu.parallel.pipeline import pipeline_forward
 
