@@ -380,6 +380,26 @@ def forward_head(
     return jax.nn.softmax(head_logits(params, tokens, config, opts), axis=-1)
 
 
+def _batch_chunk(b: int, t: int) -> int | None:
+    """Images per in-flight group for the single-chip inference entry.
+
+    At the 518px feature shape (T=1370, ViT-L) per-image throughput DEGRADES
+    past b8 (round 3: b8 108.4 / b16 105.4 / b32 91.7 img/s) — the whole-batch
+    schedule keeps every image's qkv slab live at once and XLA's scheduler
+    trades HBM locality for parallelism the chip can't use (b8 already
+    saturates the pipeline). Running big batches as sequential lax.map chunks
+    of the saturating size restores the b8 schedule per chunk. Gated to long
+    sequences; classify shapes (T=257) scale cleanly with batch and stay
+    whole-batch. DINOV2_TPU_BATCH_CHUNK overrides (0 disables)."""
+    import os
+
+    env = os.environ.get("DINOV2_TPU_BATCH_CHUNK")
+    if env is not None:
+        c = int(env)
+        return c if c > 0 else None
+    return 8 if t >= 1024 else None
+
+
 @partial(jax.jit, static_argnames=("config", "opts", "classify"))
 def forward(
     params: dict,
@@ -390,8 +410,26 @@ def forward(
 ) -> dict[str, jnp.ndarray]:
     """Full jitted forward. Returns f32 outputs:
     cls_token (B, D); patch_tokens (B, N, D) — feature-mode tap, registers and CLS
-    dropped (quirk Q5); probs (B, classes) when classify=True."""
-    tokens = forward_features(params, x, config, opts)
+    dropped (quirk Q5); probs (B, classes) when classify=True.
+
+    Large batches at long T run as sequential lax.map chunks (_batch_chunk);
+    the sharded training path (parallel/train.py) calls forward_features
+    directly and is untouched."""
+    b = x.shape[0]
+    t = (
+        (x.shape[1] // config.patch_size) * (x.shape[2] // config.patch_size)
+        + 1
+        + config.num_register_tokens
+    )
+    chunk = _batch_chunk(b, t)
+    if chunk is not None and b > chunk and b % chunk == 0:
+        xs = x.reshape(b // chunk, chunk, *x.shape[1:])
+        tokens = jax.lax.map(
+            lambda xx: forward_features(params, xx, config, opts), xs
+        )
+        tokens = tokens.reshape(b, *tokens.shape[2:])
+    else:
+        tokens = forward_features(params, x, config, opts)
     out = {
         "cls_token": tokens[:, 0],
         "patch_tokens": tokens[:, 1 + config.num_register_tokens :],

@@ -336,7 +336,13 @@ def flash_attention_slab(
     """(B, T, 3D) fused-qkv slab -> (B, T, D), transpose-free flash attention.
 
     Numerics identical to flash_attention (same kernel body). Differentiable:
-    the VJP re-splits heads and runs the FA-2 backward kernels."""
+    the VJP re-splits heads and runs the FA-2 backward kernels.
+
+    Reach: callers gate this on hd % 128 == 0 (Mosaic's lane-divisibility
+    rule for the per-head strided slab views) — every stock DINOv2 preset has
+    hd=64, so no current preset takes this path in production (the standard
+    head-split wrapper pays the HBM transpose instead); it exists for
+    hd%128==0 configs and is kept covered by interpret-mode tests."""
     return _flash_slab_forward(qkv, num_heads, scale, block_q, interpret)
 
 

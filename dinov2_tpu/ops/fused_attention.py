@@ -224,7 +224,13 @@ class sm3_override:
 
 
 def _check_finite(acc) -> jnp.ndarray:
-    """Per-cell overflow predicate as an int32 scalar (for the SMEM flag)."""
+    """Per-cell overflow predicate as an int32 scalar (for the SMEM flag).
+
+    Mosaic's isfinite (`tpu.weird`) only accepts f32 input; bf16 tiles (e.g.
+    the plain slab kernel's output ref) must be upcast first — the cast maps
+    bf16 inf/NaN to f32 inf/NaN, so the predicate is unchanged."""
+    if acc.dtype != jnp.float32:
+        acc = acc.astype(jnp.float32)
     return jnp.all(jnp.isfinite(acc)).astype(jnp.int32)
 
 

@@ -381,3 +381,49 @@ def test_outlier_channel_robustness(rng):
     # top-1 stable across dtypes despite 50x outlier channels
     assert (outs["f32"]["probs"].argmax(-1) == outs["bf16"]["probs"].argmax(-1)).all()
     assert np.abs(outs["f32"]["probs"] - outs["bf16"]["probs"]).max() < 0.05
+
+
+def test_batch_chunked_forward_matches_whole_batch(rng, monkeypatch):
+    """Large-batch long-T inference runs as sequential lax.map chunks
+    (models/vit.py::_batch_chunk — the 518px >b8 throughput fix, VERDICT r3
+    item 5). Forcing a chunk size via DINOV2_TPU_BATCH_CHUNK at small dims
+    must reproduce the whole-batch outputs (same per-image math; only the
+    schedule changes)."""
+    import jax.numpy as jnp
+
+    from dinov2_tpu.models.config import DinoConfig
+    from dinov2_tpu.models.params import init_params
+    from dinov2_tpu.models.vit import ModelOptions, forward
+
+    cfg = DinoConfig(hidden_size=64, num_hidden_layers=2,
+                     num_attention_heads=2, num_classes=4,
+                     patch_size=14, img_size=70)
+    params = init_params(cfg, seed=0, dtype=jnp.float32)
+    opts = ModelOptions(parity="hf", compute_dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((6, 70, 70, 3)), jnp.float32)
+
+    # env is read at trace time and is not part of the jit key: clear between
+    monkeypatch.setenv("DINOV2_TPU_BATCH_CHUNK", "0")
+    forward.clear_cache()
+    whole = forward(params, x, cfg, opts, classify=True)
+
+    monkeypatch.setenv("DINOV2_TPU_BATCH_CHUNK", "2")
+    forward.clear_cache()
+    chunked = forward(params, x, cfg, opts, classify=True)
+    forward.clear_cache()
+
+    for key in ("probs", "cls_token", "patch_tokens"):
+        np.testing.assert_allclose(
+            np.asarray(chunked[key]), np.asarray(whole[key]),
+            rtol=2e-5, atol=2e-6, err_msg=key,
+        )
+    # batch 6 with chunk 4 does not divide: falls back to whole-batch (no
+    # silent remainder drop)
+    monkeypatch.setenv("DINOV2_TPU_BATCH_CHUNK", "4")
+    forward.clear_cache()
+    fallback = forward(params, x, cfg, opts, classify=True)
+    forward.clear_cache()
+    np.testing.assert_allclose(
+        np.asarray(fallback["probs"]), np.asarray(whole["probs"]),
+        rtol=2e-5, atol=2e-6,
+    )
