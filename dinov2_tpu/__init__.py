@@ -8,6 +8,27 @@ quantized matmul); the host-side GGUF/quant codec has an optional C++ fast path
 
 __version__ = "0.1.0"
 
+
+def _honor_platform_env() -> None:
+    """Mirror JAX_PLATFORMS into the jax config knob before backend init.
+
+    Some out-of-tree TPU plugins (the axon tunnel on this host) register
+    themselves regardless of JAX_PLATFORMS, so `JAX_PLATFORMS=cpu python -m
+    dinov2_tpu.cli...` would still initialize — and, on a busy single-client
+    tunnel, block on — the TPU backend. The config knob wins over plugin
+    self-registration (tests/conftest.py uses the same trick); applying it
+    here makes the env var behave as documented for every entry point."""
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        import jax
+
+        jax.config.update("jax_platforms", plats)
+
+
+_honor_platform_env()
+
 _LAZY = {
     "DinoConfig": "dinov2_tpu.models.config",
     "PRESETS": "dinov2_tpu.models.config",

@@ -91,7 +91,11 @@ def gelu_tanh_f16_veltkamp(y: jnp.ndarray) -> jnp.ndarray:
         c = v * 8193.0
         return c - (c - v)
 
-    v = round11(y.astype(jnp.float32))
+    v = y.astype(jnp.float32)
+    if y.dtype != jnp.bfloat16:
+        # f16(x) is exact for bf16 inputs (8 significand bits <= 11); the
+        # input split only does work for f32 inputs — skip the 2 VPU passes
+        v = round11(v)
     g = jax.nn.gelu(v, approximate=True)
     return round11(g).astype(y.dtype)
 

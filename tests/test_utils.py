@@ -83,6 +83,32 @@ def test_gelu_tanh_f16_lut_semantics():
     assert np.all((diff <= ulp) | (diff <= 1e-6))
 
 
+def test_gelu_veltkamp_bf16_skips_input_round_exactly():
+    """gelu_tanh_f16_veltkamp skips the input Veltkamp split for bf16 (f16
+    rounding is exact on 8 significand bits); result must bit-match the
+    explicit round11-on-input form over the whole plausible activation
+    range, including the f16-subnormal band."""
+    from dinov2_tpu.ops.qmatmul import gelu_tanh_f16_veltkamp
+
+    def round11(v):
+        c = v * 8193.0
+        return c - (c - v)
+
+    x = np.concatenate(
+        [
+            np.linspace(-64.0, 64.0, 2001, dtype=np.float32),
+            np.asarray([1e-6, -1e-6, 6e-5, -6e-5, 0.0, 65504.0], np.float32),
+        ]
+    ).astype(jnp.bfloat16)
+    got = np.asarray(gelu_tanh_f16_veltkamp(jnp.asarray(x)), np.float32)
+    v = round11(np.asarray(x, np.float32))
+    import jax
+
+    g = np.asarray(jax.nn.gelu(jnp.asarray(v), approximate=True))
+    want = np.asarray(jnp.asarray(round11(g), jnp.bfloat16), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_model_options_gelu_activation():
     from dinov2_tpu.models.vit import ModelOptions
 
