@@ -180,6 +180,91 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None, safe=False) -> jnp.ndarray:
     return pv[:, :hd] / pv[:, hd : hd + 1]
 
 
+def _pack2() -> bool:
+    """Two-heads-per-contraction attention core (VERDICT r3 item 4): at hd=64
+    the per-head GEMMs contract over only half the 128 MXU lanes (the
+    augmentation fills them with zeros/bias). Packing adjacent head PAIRS —
+    contiguous 128-lane slices of the qkv slab — into one block-diagonal
+    GEMM halves the number of score GEMMs and shrinks the softmax VPU tile
+    from two (t, 384-padded) passes to one (t, 2t->640-padded) pass (-17%
+    physical elements at t=257), at the cost of a 2x-wide PV contraction
+    (extra MACs ride the MXU, which idles ~75% of the attention window).
+    Off by default until measured; DINOV2_TPU_ATT_PACK2=1 enables."""
+    import os
+
+    return os.environ.get("DINOV2_TPU_ATT_PACK2", "0") == "1"
+
+
+def _pair_softmax_pv(q2, k2, v2, scale) -> jnp.ndarray:
+    """Two adjacent heads' attention cores in one GEMM set.
+
+    q2/k2/v2: (t, 2*hd) contiguous pair slices of the slab ([head h | head
+    h+1] along lanes); returns (t, 2*hd) = [out_h | out_h+1]. Math is the
+    3-pass CLS-shift core of _head_softmax_pv, evaluated per head through
+    block structure: K becomes block-diagonal (2t, 2hd) so the scores GEMM
+    emits [s_h | s_h+1] as one (t, 2t) tile; V gains per-head normalizer
+    columns at 128-lane stride so the PV GEMM emits [pv_h | l_h | pv_h+1 |
+    l_h+1]. Unsafe branch only — the rescue path re-runs per-head with the
+    row-max core (per-half row-max needs misaligned lane reductions)."""
+    t, w = q2.shape
+    hd = w // 2
+    if _is_pow2(scale):
+        q2 = q2 * jnp.asarray(scale, q2.dtype)
+        c = _LOG2E
+    else:
+        c = scale * _LOG2E
+    q2 = q2 * jnp.asarray(c, q2.dtype)
+    zt = jnp.zeros((t, hd), k2.dtype)
+    top = jnp.concatenate([k2[:, :hd], zt], axis=1)
+    bot = jnp.concatenate([zt, k2[:, hd:]], axis=1)
+    kb = jnp.concatenate([top, bot], axis=0)  # (2t, 2hd) block-diagonal
+    s = jax.lax.dot_general(
+        q2, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (t, 2t) = [s_h | s_h+1], log2 domain
+    # per-head CLS shifts: one (t, 2) GEMM against the two CLS key rows,
+    # broadcast to the packed tile through a {0,1} selector matmul (both ride
+    # the MXU; the only full-tile VPU work stays sub/exp2/astype)
+    kc = jnp.concatenate([top[0:1], bot[0:1]], axis=0)  # (2, 2hd)
+    shift2 = jax.lax.dot_general(
+        q2, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (t, 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (2, 2 * t), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (2, 2 * t), 0)
+    sel = ((col < t) == (row == 0)).astype(jnp.float32)
+    shift_bc = jax.lax.dot_general(
+        shift2, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp2(s - shift_bc)
+    # V block (2t, 2*128): head h occupies lanes [0:hd, normalizer at hd],
+    # head h+1 lanes [128:128+hd, normalizer at 128+hd]
+    one = jnp.ones((t, 1), v2.dtype)
+    zpad = jnp.zeros((t, 128 - hd - 1), v2.dtype)
+    z128 = jnp.zeros((t, 128), v2.dtype)
+    vt = jnp.concatenate([v2[:, :hd], one, zpad, z128], axis=1)
+    vb = jnp.concatenate([z128, v2[:, hd:], one, zpad], axis=1)
+    pv = jax.lax.dot_general(
+        p.astype(v2.dtype), jnp.concatenate([vt, vb], axis=0),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (t, 256)
+    return jnp.concatenate(
+        [
+            pv[:, :hd] / pv[:, hd : hd + 1],
+            pv[:, 128 : 128 + hd] / pv[:, 128 + hd : 128 + hd + 1],
+        ],
+        axis=1,
+    )
+
+
+def _use_pack2(num_heads: int, hd: int, safe: bool, t: int) -> bool:
+    return (
+        _pack2()
+        and not safe
+        and num_heads % 2 == 0
+        and hd == 64
+        and _aug_active(t)
+    )
+
+
 _SM3_OVERRIDE: str | None = None
 
 
@@ -256,17 +341,41 @@ def _pick_image_blocks(b: int, cost_fn, budget: int | None = None) -> int:
     return nb
 
 
-def _slab_kernel(qkv_ref, o_ref, ok_ref, *, num_heads, scale, d, nb, safe, check):
+def _attention_heads_sliced(slab, t, d, num_heads, scale, safe, write) -> None:
+    """Shared head loop of the slab kernels: `slab(lo, hi)` returns the
+    (t, hi-lo) lane-slice of one image's (t, 3d) qkv slab (ref or value);
+    each head-range output goes to `write(lo, hi, value)`. Routes head PAIRS
+    through _pair_softmax_pv when pack-2 is enabled."""
     hd = d // num_heads
+    if _use_pack2(num_heads, hd, safe, t):
+        for j in range(0, num_heads, 2):
+            lo = j * hd
+            q2 = slab(lo, lo + 2 * hd)
+            k2 = slab(d + lo, d + lo + 2 * hd)
+            v2 = slab(2 * d + lo, 2 * d + lo + 2 * hd)
+            write(lo, lo + 2 * hd, _pair_softmax_pv(q2, k2, v2, scale))
+    else:
+        for h in range(num_heads):
+            q = slab(h * hd, (h + 1) * hd)
+            k = slab(d + h * hd, d + (h + 1) * hd)
+            v = slab(2 * d + h * hd, 2 * d + (h + 1) * hd)
+            write(h * hd, (h + 1) * hd, _head_softmax_pv(q, k, v, scale, safe=safe))
+
+
+def _attention_heads(qkv_ref, b, d, num_heads, scale, safe, write) -> None:
+    _attention_heads_sliced(
+        lambda lo, hi: qkv_ref[b, :, lo:hi], qkv_ref.shape[1], d, num_heads,
+        scale, safe, write,
+    )
+
+
+def _slab_kernel(qkv_ref, o_ref, ok_ref, *, num_heads, scale, d, nb, safe, check):
     ok = jnp.int32(1)
     for b in range(nb):
-        for h in range(num_heads):
-            q = qkv_ref[b, :, h * hd : (h + 1) * hd]
-            k = qkv_ref[b, :, d + h * hd : d + (h + 1) * hd]
-            v = qkv_ref[b, :, 2 * d + h * hd : 2 * d + (h + 1) * hd]
-            o_ref[b, :, h * hd : (h + 1) * hd] = _head_softmax_pv(
-                q, k, v, scale, safe=safe
-            ).astype(o_ref.dtype)
+        def write(lo, hi, val, b=b):
+            o_ref[b, :, lo:hi] = val.astype(o_ref.dtype)
+
+        _attention_heads(qkv_ref, b, d, num_heads, scale, safe, write)
         if check:
             ok = ok & _check_finite(o_ref[b])
     _write_flag(ok_ref, ok)
@@ -411,16 +520,12 @@ def _slab_proj_kernel(
     x_ref, qkv_ref, w_ref, bb_ref, ls_ref, o_ref, ok_ref, a_scr,
     *, num_heads, scale, d, nb, safe, check,
 ):
-    hd = d // num_heads
     ok = jnp.int32(1)
     for b in range(nb):
-        for h in range(num_heads):
-            q = qkv_ref[b, :, h * hd : (h + 1) * hd]
-            k = qkv_ref[b, :, d + h * hd : d + (h + 1) * hd]
-            v = qkv_ref[b, :, 2 * d + h * hd : 2 * d + (h + 1) * hd]
-            a_scr[b, :, h * hd : (h + 1) * hd] = _head_softmax_pv(
-                q, k, v, scale, safe=safe
-            ).astype(a_scr.dtype)
+        def write(lo, hi, val, b=b):
+            a_scr[b, :, lo:hi] = val.astype(a_scr.dtype)
+
+        _attention_heads(qkv_ref, b, d, num_heads, scale, safe, write)
         # proj + bias + LayerScale + residual, numerics-ordered exactly like the
         # XLA path (ops/qmatmul.py::apply_linear + models/vit.py): f32 matmul
         # accumulate -> cast to compute dtype -> +bias -> *ls -> +residual
@@ -544,13 +649,14 @@ def _slab_layer_kernel(
             preferred_element_type=jnp.float32,
         )
         qkv = acc.astype(xb.dtype) + bq_ref[:].astype(xb.dtype)  # (t, 3d)
-        for hh in range(num_heads):
-            q = qkv[:, hh * hd : (hh + 1) * hd]
-            k = qkv[:, d + hh * hd : d + (hh + 1) * hd]
-            v = qkv[:, 2 * d + hh * hd : 2 * d + (hh + 1) * hd]
-            a_scr[b, :, hh * hd : (hh + 1) * hd] = _head_softmax_pv(
-                q, k, v, scale, safe=safe
-            ).astype(a_scr.dtype)
+
+        def write(lo, hi, val, b=b):
+            a_scr[b, :, lo:hi] = val.astype(a_scr.dtype)
+
+        _attention_heads_sliced(
+            lambda lo, hi: qkv[:, lo:hi], qkv.shape[0], d, num_heads, scale,
+            safe, write,
+        )
         acc = jax.lax.dot_general(
             a_scr[b], wp_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -790,6 +896,70 @@ def _mlp_block_cost(nb: int, t: int, d: int, dh: int, itemsize: int = 2) -> int:
     return 2 * 2 * xio + weights + ln32 + chunk + acc
 
 
+# --- flat (row-major) MLP half-layer -----------------------------------------
+#
+# The MLP half-layer is ROW-INDEPENDENT (LN, fc1, GELU, fc2, LayerScale,
+# residual all act per token), so the kernel does not need the (B, T, D) image
+# structure at all: flattening to (B*T, D) lets the grid cut the token axis at
+# sublane-aligned offsets and run fc1 as one (rc, D)x(D, DH) GEMM with the
+# full DH=4D output width — vs the per-image variant's m=257 GEMMs chunked to
+# D-wide tiles (measured a tie vs XLA at ViT-S b64; the flat variant is what
+# actually cashes the (T, 4D) HBM round-trip saving — docs/TPU_NOTES.md r4).
+
+
+def _slab_mlp_flat_kernel(
+    x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref,
+    o_ref, *, d, dh, eps, approximate_gelu, row_chunk,
+):
+    rows = x_ref.shape[0]
+    for r0 in range(0, rows, row_chunk):
+        r1 = min(r0 + row_chunk, rows)
+        xb = x_ref[r0:r1]
+        x32 = xb.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+        h32 = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        h = (h32 * lns_ref[:] + lnb_ref[:]).astype(xb.dtype)
+        a1 = jax.lax.dot_general(
+            h, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = a1.astype(xb.dtype) + b1_ref[:].astype(xb.dtype)
+        g = _mlp_act(g, approximate_gelu)
+        acc = jax.lax.dot_general(
+            g, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = acc.astype(o_ref.dtype) + b2_ref[:].astype(o_ref.dtype)
+        o_ref[r0:r1] = xb + y * ls_ref[:].astype(o_ref.dtype)
+
+
+_MLP_ROW_CHUNK = 256  # fc1/fc2 GEMM m per in-kernel step (sublane-aligned)
+
+
+def _mlp_flat_cost(m: int, d: int, dh: int, itemsize: int = 2) -> int:
+    io = m * d * itemsize
+    weights = 2 * d * dh * itemsize
+    rc = min(m, _MLP_ROW_CHUNK)
+    inter = rc * (10 * d + 6 * dh)  # f32 LN + h + f32 a1 + g + f32 acc
+    return 2 * 2 * io + weights + inter
+
+
+def _pick_flat_rows(total: int, d: int, dh: int, itemsize: int = 2) -> int | None:
+    """Largest sublane-aligned divisor of the flattened token count whose
+    block fits the VMEM budget (None: shape can't run the flat kernel)."""
+    best = None
+    i = 1
+    while i * i <= total:
+        if total % i == 0:
+            for m in (i, total // i):
+                if m % 8 == 0 and _mlp_flat_cost(m, d, dh, itemsize) < _layer_budget():
+                    if best is None or m > best:
+                        best = m
+        i += 1
+    return best
+
+
 def fits_slab_mlp(t: int, d: int, dh: int, itemsize: int = 2) -> bool:
     return (
         t <= MAX_SLAB_TOKENS
@@ -837,6 +1007,19 @@ def _slab_mlp_forward(
             f"slab_mlp_block needs hidden dim {dh} divisible by {d} "
             "(the hidden axis streams through VMEM in D-wide chunks)"
         )
+
+    import os
+
+    flat_mode = os.environ.get("DINOV2_TPU_MLP_FLAT", "auto")
+    m = None
+    if flat_mode != "off":
+        m = _pick_flat_rows(b * t, d, dh, x.dtype.itemsize)
+    if m is not None:
+        return _slab_mlp_flat(
+            x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, approximate_gelu, eps,
+            interpret, m,
+        )
+
     nb = _pick_image_blocks(
         b, lambda nb: _mlp_block_cost(nb, t, d, dh, x.dtype.itemsize)
     )
@@ -875,6 +1058,49 @@ def _slab_mlp_forward(
         x, row(ln_scale), row(ln_bias), w1.astype(x.dtype), row(b1),
         w2.astype(x.dtype), row(b2), row(ls2),
     )
+
+
+def _slab_mlp_flat(
+    x, ln_scale, ln_bias, w1, b1, w2, b2, ls2, approximate_gelu, eps,
+    interpret, m,
+):
+    b, t, d = x.shape
+    dh = w1.shape[1]
+    rows = b * t
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(
+            _slab_mlp_flat_kernel, d=d, dh=dh, eps=eps,
+            approximate_gelu=approximate_gelu,
+            row_chunk=min(m, _MLP_ROW_CHUNK),
+        ),
+        grid=(rows // m,),
+        in_specs=[
+            pl.BlockSpec((m, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d * dh,
+            bytes_accessed=2 * x.size * x.dtype.itemsize + 2 * d * dh * 2,
+            transcendentals=rows * dh,
+        ),
+    )(
+        x.reshape(rows, d), row(ln_scale), row(ln_bias), w1.astype(x.dtype),
+        row(b1), w2.astype(x.dtype), row(b2), row(ls2),
+    )
+    return out.reshape(b, t, d)
 
 
 def _slab_mlp_reference(

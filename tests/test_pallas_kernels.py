@@ -193,6 +193,43 @@ def test_slab_augmented_overflow_fallback(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_slab_pack2_matches_vanilla(rng, monkeypatch):
+    """DINOV2_TPU_ATT_PACK2=1 routes adjacent head PAIRS through the
+    block-diagonal two-head core (_pair_softmax_pv); output must equal the
+    per-head reference at hd=64 (the only geometry the route accepts)."""
+    from dinov2_tpu.ops import fused_attention as fa
+
+    monkeypatch.setenv("DINOV2_TPU_ATT_PACK2", "1")
+    b, t, heads, d = 2, 96, 4, 256  # hd=64, even head count
+    assert fa._use_pack2(heads, d // heads, safe=False, t=t)
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * d)), jnp.float32)
+    scale = 1.0 / (d // heads) ** 0.5
+    got = np.asarray(fa.slab_attention(qkv, heads, scale, interpret=True))
+    want = np.asarray(fa._slab_reference(qkv, heads, scale))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # odd head counts and hd != 64 must refuse the packed route
+    assert not fa._use_pack2(3, 64, safe=False, t=t)
+    assert not fa._use_pack2(4, 32, safe=False, t=t)
+
+
+def test_slab_pack2_overflow_rescue(rng, monkeypatch):
+    """The packed core is unsafe-only: when the CLS-shift overflows, the
+    rescue re-run (per-head row-max core) must still produce finite, correct
+    output with pack2 enabled."""
+    from dinov2_tpu.ops import fused_attention as fa
+
+    monkeypatch.setenv("DINOV2_TPU_ATT_PACK2", "1")
+    b, t, heads, d = 1, 96, 2, 128
+    qkv = np.asarray(rng.standard_normal((b, t, 3 * d)), np.float32)
+    qkv[:, 0, d : 2 * d] *= 500.0 / (d // heads) ** 0.5
+    qkv = jnp.asarray(qkv)
+    scale = 1.0 / (d // heads) ** 0.5
+    got = np.asarray(fa.slab_attention(qkv, heads, scale, interpret=True))
+    want = np.asarray(fa._slab_reference(qkv, heads, scale))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_slab_multi_image_blocks(rng):
     """b=4 exercises the nb>1 grid (images-per-cell DMA amortization)."""
     from dinov2_tpu.ops.fused_attention import _pick_nb, _slab_reference, slab_attention
@@ -378,6 +415,38 @@ def test_slab_mlp_block_matches_unfused(rng):
     grads = jax.grad(loss, argnums=(0, 1, 2))(x, w1, w2)
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_slab_mlp_flat_route_matches_per_image(rng, monkeypatch):
+    """When b*t has a sublane-aligned divisor that fits VMEM, the MLP
+    half-layer flattens to (B*T, D) and cuts the token axis directly
+    (_slab_mlp_flat); result must equal the per-image route and the unfused
+    reference."""
+    from dinov2_tpu.ops import fused_attention as fa
+
+    b, t, d = 2, 64, 64  # b*t = 128: flat route eligible (m % 8 == 0)
+    dh = 4 * d
+    assert fa._pick_flat_rows(b * t, d, dh, 4) is not None
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    lns = jnp.asarray(rng.uniform(0.5, 1.5, d), jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, dh)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(dh) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((dh, d)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.1, 1.0, d), jnp.float32)
+    args = (x, lns, lnb, w1, b1, w2, b2, ls, True, 1e-6, True)
+
+    flat = np.asarray(fa.slab_mlp_block(*args))
+    monkeypatch.setenv("DINOV2_TPU_MLP_FLAT", "off")
+    per_image = np.asarray(fa.slab_mlp_block(*args))
+    want = np.asarray(_ref_mlp(fa, *args[:-1]))
+    np.testing.assert_allclose(flat, want, rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(flat, per_image, rtol=2e-6, atol=2e-6)
+
+
+def _ref_mlp(fa, x, lns, lnb, w1, b1, w2, b2, ls, approx, eps):
+    return fa._slab_mlp_reference(x, lns, lnb, w1, b1, w2, b2, ls, approx, eps)
 
 
 # ---------------------------------------------------------------------------
