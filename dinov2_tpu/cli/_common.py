@@ -64,10 +64,15 @@ def resolve_asset(path: str) -> str:
     those binaries; if `path` does not exist locally, look it up (by its
     relative path, then basename) under $DINOV2_TPU_ASSETS — defaulting to the
     mounted reference checkout's assets directory — so the stock CLI
-    invocation works out of the box against the reference fixture set."""
+    invocation works out of the box against the reference fixture set.
+
+    Only RELATIVE paths take the fixture fallback: a missing absolute path is
+    a user error (typo, unmounted volume) and silently substituting a
+    same-named bundled photo would classify the wrong image. Callers get the
+    path back unchanged and fail with the honest file-not-found."""
     import os
 
-    if os.path.exists(path):
+    if os.path.exists(path) or os.path.isabs(path):
         return path
     root = os.environ.get("DINOV2_TPU_ASSETS", "/root/reference/assets")
     for cand in (

@@ -83,16 +83,6 @@ def pca_visualization_batch(
     return jax.vmap(one)(patch_tokens)
 
 
-def upscale_nearest_host(grid_u8, patch_size: int):
-    """(..., h, w, 3) uint8 patch grid -> (..., h*p, w*p, 3) by pixel
-    replication on the host (numpy repeat == cv2 INTER_NEAREST for integer
-    scale factors)."""
-    import numpy as np
-
-    out = np.repeat(np.asarray(grid_u8), patch_size, axis=-3)
-    return np.repeat(out, patch_size, axis=-2)
-
-
 def resize_nearest_host(grid_u8, out_h: int, out_w: int):
     """(..., h, w, 3) uint8 -> (..., out_h, out_w, 3) with cv2 INTER_NEAREST
     semantics (source index = floor(dst * src/dst), clamped) on the host.

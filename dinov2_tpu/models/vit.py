@@ -331,8 +331,16 @@ def forward_features(
 
     b, t, d = tokens.shape
     path = resolve_attention_path(opts.flash_attention, t, d, tokens.dtype.itemsize)
+    if path == "flash":
+        from dinov2_tpu.ops.flash_attention import flash_unsafe_core_active
+
+        flash_unsafe = flash_unsafe_core_active(
+            t, d // config.num_attention_heads
+        )
+    else:
+        flash_unsafe = False
     if _sm3_mode() == "rescue" and (
-        (path == "slab" and _aug_active(t)) or path == "flash"
+        (path == "slab" and _aug_active(t)) or flash_unsafe
     ):
         fast = run_layers(tokens, "unsafe")
         ok = jnp.isfinite(jnp.sum(fast.astype(jnp.float32)))

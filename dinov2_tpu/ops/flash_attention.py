@@ -190,6 +190,17 @@ def flash_attention(
     return _flash_forward(q, k, v, scale, block_q, interpret)
 
 
+def flash_unsafe_core_active(t: int, hd: int, block_q: int = 2048) -> bool:
+    """True iff _flash_forward (inference, no lse) would take the single-KV
+    specialization — the only flash path that runs the unsafe CLS-shift core
+    and can trip the rescue flag. The multi-KV online-softmax kernel is
+    numerically safe by construction, so callers arming the whole-stack
+    rescue (models/vit.py::forward_features) must not pay the duplicated
+    branch when this is False."""
+    bq, bk, tp = _pick_blocks(t, hd, block_q)
+    return bk == tp
+
+
 def _flash_forward(q, k, v, scale, block_q=2048, interpret=None, with_lse=False):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -41,9 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 from dinov2_tpu.ops.fused_attention import (
     MAX_SLAB_TOKENS,
     _aug_active,
+    _attention_heads_sliced,
     _check_finite,
     _flag_specs,
-    _head_softmax_pv,
     _layer_budget,
     _pick_image_blocks,
     _rescue,
@@ -192,7 +192,6 @@ def _quant_layer_kernel(
     bp_ref, ls_ref = refs[i], refs[i + 1]
     o_ref, ok_ref = refs[i + 2], refs[i + 3]
     a_scr, wq_scr, wp_scr = refs[i + 4], refs[i + 5], refs[i + 6]
-    hd = d // num_heads
     ok = jnp.int32(1)
 
     # weights dequantize ONCE per pallas_call (persistent VMEM scratch); the
@@ -215,13 +214,14 @@ def _quant_layer_kernel(
             preferred_element_type=jnp.float32,
         )
         qkv = acc.astype(xb.dtype) + bq_ref[:].astype(xb.dtype)  # (t, 3d)
-        for hh in range(num_heads):
-            q = qkv[:, hh * hd : (hh + 1) * hd]
-            k = qkv[:, d + hh * hd : d + (hh + 1) * hd]
-            v = qkv[:, 2 * d + hh * hd : 2 * d + (hh + 1) * hd]
-            a_scr[b, :, hh * hd : (hh + 1) * hd] = _head_softmax_pv(
-                q, k, v, scale, safe=safe
-            ).astype(a_scr.dtype)
+
+        def write(lo, hi, val, b=b):
+            a_scr[b, :, lo:hi] = val.astype(a_scr.dtype)
+
+        _attention_heads_sliced(
+            lambda lo, hi: qkv[:, lo:hi], qkv.shape[0], d, num_heads, scale,
+            safe, write,
+        )
         acc = jax.lax.dot_general(
             a_scr[b], wp_scr[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,

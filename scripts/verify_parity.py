@@ -67,9 +67,9 @@ def _find_auto_checkpoint() -> tuple[Path | None, str]:
     import os
 
     def is_model_dir(d: Path) -> bool:
-        return (d / "config.json").exists() and any(
-            d.glob("*.safetensors")
-        ) or (d / "pytorch_model.bin").exists()
+        return (d / "config.json").exists() and (
+            any(d.glob("*.safetensors")) or (d / "pytorch_model.bin").exists()
+        )
 
     def scan_cache(root: Path) -> Path | None:
         hub = root / "hub" if (root / "hub").exists() else root

@@ -119,6 +119,10 @@ def test_resolve_asset_finds_reference_files(tmp_path, monkeypatch):
     local = tmp_path / "tench.jpg"
     local.write_bytes(b"x")
     assert resolve_asset(str(local)) == str(local)
+    # a MISSING absolute path must NOT silently substitute a same-named
+    # bundled photo (typo / unmounted volume => honest file-not-found)
+    missing_abs = str(tmp_path / "nowhere" / "tench.jpg")
+    assert resolve_asset(missing_abs) == missing_abs
 
 
 def test_cli_default_input_and_pca_dims(tmp_path, monkeypatch, capsys):

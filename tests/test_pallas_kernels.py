@@ -670,3 +670,22 @@ def test_quant_model_dequant_slab_route_matches_xla(rng, tmp_path, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got[key]), np.asarray(want[key]), rtol=5e-5, atol=5e-5
         )
+
+
+def test_flash_rescue_gate_matches_1kv_condition():
+    """forward_features arms the whole-stack rescue for the flash path only
+    when the single-KV specialization (the one flash kernel that runs the
+    unsafe CLS-shift core) would actually be taken; the multi-KV
+    online-softmax kernel is safe by construction and must not pay the
+    duplicated rescue branch."""
+    from dinov2_tpu.ops.flash_attention import (
+        _pick_blocks,
+        flash_unsafe_core_active,
+    )
+
+    for t in (257, 640, 1370):  # every DINOv2 preset shape: single KV block
+        bq, bk, tp = _pick_blocks(t, 64, 2048)
+        assert bk == tp
+        assert flash_unsafe_core_active(t, 64)
+    for t in (4096, 16384):  # native-resolution territory: multi-KV, safe
+        assert not flash_unsafe_core_active(t, 64)

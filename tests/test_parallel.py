@@ -340,6 +340,37 @@ def test_pipeline_train_step_matches_single():
     p_pp, s_pp, m2 = step(p_pp, s_pp, jnp.asarray(images), jnp.asarray(labels))
     assert float(m2["loss"]) < float(m_pp["loss"]) + 1.0
 
+    # RAW gradient equivalence via sgd(1.0): Adam's update is invariant to a
+    # uniform gradient scale, so the adamw comparison above cannot catch a
+    # wrong psum/replication factor in the shard_map transpose (the exact
+    # failure class for P() inputs under check_vma=False). With sgd(1.0),
+    # p0 - p_new IS the pipeline gradient — compare it to jax.grad of the
+    # identical sequential loss.
+    from dinov2_tpu.models.vit import forward_features, head_logits
+
+    p0 = init_params(cfg, seed=0, dtype=jnp.float32)
+
+    def seq_loss(p):
+        tokens = forward_features(p, jnp.asarray(images), cfg, OPTS)
+        logits = head_logits(p, tokens, cfg, OPTS)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(labels)
+        ).mean()
+
+    g_seq = jax.grad(seq_loss)(p0)
+    sgd_step, sgd_place = make_pipeline_train_step(
+        cfg, OPTS, mesh, optax.sgd(1.0), num_microbatches=4
+    )
+    p_sgd, s_sgd = sgd_place(init_params(cfg, seed=0, dtype=jnp.float32))
+    p_sgd, _, _ = sgd_step(p_sgd, s_sgd, jnp.asarray(images), jnp.asarray(labels))
+    g_pp = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a) - np.asarray(b), p0, p_sgd
+    )
+    for ga, gb in zip(
+        jax.tree_util.tree_leaves(g_seq), jax.tree_util.tree_leaves(g_pp)
+    ):
+        np.testing.assert_allclose(np.asarray(ga), gb, rtol=1e-4, atol=1e-6)
+
 
 def test_pipeline_parallel_validations():
     from dinov2_tpu.parallel.pipeline import pipeline_forward

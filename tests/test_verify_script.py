@@ -57,3 +57,30 @@ def test_verify_parity_local_random_mode(monkeypatch):
         ["--cpu", "--local-random", "tiny", "--registers", "--backbone"]
     )
     assert rc == 0
+
+
+def test_find_auto_checkpoint_requires_config(tmp_path, monkeypatch):
+    """A dir with weights but no config.json (partial download) must be
+    rejected by --auto's detector, not crash main() later on a missing
+    config read."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        verify_parity = importlib.import_module("verify_parity")
+    finally:
+        sys.path.pop(0)
+
+    weights_only = tmp_path / "snap"
+    weights_only.mkdir()
+    (weights_only / "pytorch_model.bin").write_bytes(b"\x00")
+    monkeypatch.setenv("DINOV2_TPU_HF_DIR", str(weights_only))
+    monkeypatch.delenv("HF_HOME", raising=False)
+    ckpt, reason = verify_parity._find_auto_checkpoint()
+    assert ckpt is None
+    assert "no real DINOv2 checkpoint" in reason
+
+    (weights_only / "config.json").write_text("{}")
+    ckpt, _ = verify_parity._find_auto_checkpoint()
+    assert ckpt == weights_only
