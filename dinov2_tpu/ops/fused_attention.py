@@ -195,17 +195,29 @@ def _pack2() -> bool:
     return os.environ.get("DINOV2_TPU_ATT_PACK2", "0") == "1"
 
 
+_PAD_SHIFT = 30000.0  # log2-domain knockout for padded key columns
+
+
 def _pair_softmax_pv(q2, k2, v2, scale) -> jnp.ndarray:
-    """Two adjacent heads' attention cores in one GEMM set.
+    """Two adjacent heads' attention cores in one GEMM set (lane-aligned).
 
     q2/k2/v2: (t, 2*hd) contiguous pair slices of the slab ([head h | head
     h+1] along lanes); returns (t, 2*hd) = [out_h | out_h+1]. Math is the
     3-pass CLS-shift core of _head_softmax_pv, evaluated per head through
-    block structure: K becomes block-diagonal (2t, 2hd) so the scores GEMM
-    emits [s_h | s_h+1] as one (t, 2t) tile; V gains per-head normalizer
-    columns at 128-lane stride so the PV GEMM emits [pv_h | l_h | pv_h+1 |
-    l_h+1]. Unsafe branch only — the rescue path re-runs per-head with the
-    row-max core (per-half row-max needs misaligned lane reductions)."""
+    block structure: K becomes block-diagonal so the scores GEMM emits
+    [s_h | s_h+1] as one tile; V gains a per-head normalizer block so the
+    PV GEMM emits [pv_h | l_h | pv_h+1 | l_h+1]. Unsafe branch only — the
+    rescue path re-runs per-head with the row-max core.
+
+    Alignment (the round-4 parked variant's suspected compile pathology —
+    docs/TPU_NOTES.md): every intermediate keeps 128-multiple LANES and
+    8-multiple concat offsets. Each head's key axis is zero-padded to
+    tph = ceil(t/64)*64, so the packed score tile is (t, 2*tph) with
+    2*tph % 128 == 0; pad columns are knocked out by a third selector row
+    that broadcasts _PAD_SHIFT into the exp2 argument (exp2(0 - 3e4) == 0,
+    no inf*0 in the PV GEMM); the normalizer is a 64-lane ones BLOCK (not a
+    single misaligned column), so the V block is four aligned 64/128-lane
+    pieces and the extra MACs ride the idle MXU."""
     t, w = q2.shape
     hd = w // 2
     if _is_pow2(scale):
@@ -214,34 +226,53 @@ def _pair_softmax_pv(q2, k2, v2, scale) -> jnp.ndarray:
     else:
         c = scale * _LOG2E
     q2 = q2 * jnp.asarray(c, q2.dtype)
-    zt = jnp.zeros((t, hd), k2.dtype)
-    top = jnp.concatenate([k2[:, :hd], zt], axis=1)
-    bot = jnp.concatenate([zt, k2[:, hd:]], axis=1)
-    kb = jnp.concatenate([top, bot], axis=0)  # (2t, 2hd) block-diagonal
+    tph = -(-t // 64) * 64  # per-head padded key count; 2*tph lane-aligned
+    zk = jnp.zeros((tph - t, hd), k2.dtype)
+    zc = jnp.zeros((tph, hd), k2.dtype)
+    top = jnp.concatenate([jnp.concatenate([k2[:, :hd], zk], 0), zc], 1)
+    bot = jnp.concatenate([zc, jnp.concatenate([k2[:, hd:], zk], 0)], 1)
+    kb = jnp.concatenate([top, bot], axis=0)  # (2*tph, 2hd) block-diagonal
     s = jax.lax.dot_general(
         q2, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (t, 2t) = [s_h | s_h+1], log2 domain
+    )  # (t, 2*tph) = [s_h | pad | s_h+1 | pad], log2 domain
     # per-head CLS shifts: one (t, 2) GEMM against the two CLS key rows,
-    # broadcast to the packed tile through a {0,1} selector matmul (both ride
-    # the MXU; the only full-tile VPU work stays sub/exp2/astype)
+    # broadcast to the packed tile through a selector matmul whose third row
+    # knocks out the pad columns (all of it rides the MXU; the only
+    # full-tile VPU work stays sub/exp2/astype)
     kc = jnp.concatenate([top[0:1], bot[0:1]], axis=0)  # (2, 2hd)
     shift2 = jax.lax.dot_general(
         q2, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (t, 2)
-    col = jax.lax.broadcasted_iota(jnp.int32, (2, 2 * t), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (2, 2 * t), 0)
-    sel = ((col < t) == (row == 0)).astype(jnp.float32)
+    shift3 = jnp.concatenate([shift2, jnp.ones((t, 1), jnp.float32)], axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (3, 2 * tph), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (3, 2 * tph), 0)
+    real0 = col < t
+    real1 = (col >= tph) & (col < tph + t)
+    sel = (
+        ((row == 0) & real0).astype(jnp.float32)
+        + ((row == 1) & real1).astype(jnp.float32)
+        + ((row == 2) & ~(real0 | real1)).astype(jnp.float32) * _PAD_SHIFT
+    )
     shift_bc = jax.lax.dot_general(
-        shift2, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        shift3, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     p = jnp.exp2(s - shift_bc)
-    # V block (2t, 2*128): head h occupies lanes [0:hd, normalizer at hd],
-    # head h+1 lanes [128:128+hd, normalizer at 128+hd]
-    one = jnp.ones((t, 1), v2.dtype)
-    zpad = jnp.zeros((t, 128 - hd - 1), v2.dtype)
-    z128 = jnp.zeros((t, 128), v2.dtype)
-    vt = jnp.concatenate([v2[:, :hd], one, zpad, z128], axis=1)
-    vb = jnp.concatenate([z128, v2[:, hd:], one, zpad], axis=1)
+    # V block (2*tph, 256): head h occupies lanes [0:hd), its normalizer
+    # fills the whole [64:128) block (any one of those lanes is l_h); head
+    # h+1 mirrors at +128. Pad key rows are all-zero, so their (already
+    # zeroed) p contributes nothing.
+    onep = jnp.concatenate(
+        [jnp.ones((t, 1), v2.dtype), jnp.zeros((tph - t, 1), v2.dtype)], 0
+    )
+    nblk = onep * jnp.ones((1, 128 - hd), v2.dtype)  # (tph, 64) ones block
+    zv = jnp.zeros((tph - t, hd), v2.dtype)
+    z128 = jnp.zeros((tph, 128), v2.dtype)
+    vt = jnp.concatenate(
+        [jnp.concatenate([v2[:, :hd], zv], 0), nblk, z128], axis=1
+    )
+    vb = jnp.concatenate(
+        [z128, jnp.concatenate([v2[:, hd:], zv], 0), nblk], axis=1
+    )
     pv = jax.lax.dot_general(
         p.astype(v2.dtype), jnp.concatenate([vt, vb], axis=0),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
