@@ -39,7 +39,25 @@ echo "=== step 4: ViT-S MFU receipt (post self-review-fix state) $(date +%T) ===
 DINOV2_PROFILE_SIZE=small timeout 2400 python scripts/profile_mfu.py slab
 echo "vits rc=$?"
 
-echo "=== step 5: final bench.py $(date +%T) ==="
+echo "=== step 5: training-step benchmark (new receipt) $(date +%T) ==="
+timeout 2400 python scripts/bench_train.py small 64
+echo "train-small rc=$?"
+timeout 2400 python scripts/bench_train.py base 64
+echo "train-base rc=$?"
+
+echo "=== step 6: reference-mirror b1 latency sweep (BASELINE.md row-for-row) $(date +%T) ==="
+for size in small base large giant; do
+  timeout 3600 python -m dinov2_tpu.cli.benchmark --size "$size" --batch-sizes 1,64 --iters 20 \
+    --quant q4_0,q4_1,q5_0,q5_1,q8_0 --quant-mode dequant --json \
+    > /tmp/r4_mirror_${size}_dequant.json 2>/tmp/r4_mirror_${size}_dequant.err
+  echo "mirror $size dequant rc=$?"
+  timeout 3600 python -m dinov2_tpu.cli.benchmark --size "$size" --batch-sizes 1 --iters 20 \
+    --quant q4_0,q8_0 --quant-mode fused --json \
+    > /tmp/r4_mirror_${size}_fused.json 2>/tmp/r4_mirror_${size}_fused.err
+  echo "mirror $size fused rc=$?"
+done
+
+echo "=== step 7: final bench.py $(date +%T) ==="
 timeout 1800 python bench.py
 echo "bench rc=$?"
 echo "=== queue done $(date +%T) ==="
