@@ -66,13 +66,17 @@ def resolve_asset(path: str) -> str:
     mounted reference checkout's assets directory — so the stock CLI
     invocation works out of the box against the reference fixture set.
 
-    Only RELATIVE paths take the fixture fallback: a missing absolute path is
-    a user error (typo, unmounted volume) and silently substituting a
-    same-named bundled photo would classify the wrong image. Callers get the
-    path back unchanged and fail with the honest file-not-found."""
+    Only the documented default-input form — a relative path under
+    `assets/` — takes the fixture fallback: a missing absolute path OR any
+    other missing relative path (e.g. `photos/tench.jpg` run from the wrong
+    directory) is a user error, and silently substituting a same-named
+    bundled photo would classify the wrong image. Callers get the path back
+    unchanged and fail with the honest file-not-found."""
     import os
 
     if os.path.exists(path) or os.path.isabs(path):
+        return path
+    if not path.replace(os.sep, "/").startswith("assets/"):
         return path
     root = os.environ.get("DINOV2_TPU_ASSETS", "/root/reference/assets")
     for cand in (

@@ -398,14 +398,23 @@ def _batch_chunk(b: int, t: int) -> int | None:
     saturates the pipeline). Running big batches as sequential lax.map chunks
     of the saturating size restores the b8 schedule per chunk. Gated to long
     sequences; classify shapes (T=257) scale cleanly with batch and stay
-    whole-batch. DINOV2_TPU_BATCH_CHUNK overrides (0 disables)."""
+    whole-batch. DINOV2_TPU_BATCH_CHUNK overrides (0 disables).
+
+    Non-multiples of 8 chunk at the largest divisor of b in [4, 8] (half the
+    saturating size keeps the pipeline mostly fed and still beats the
+    degraded whole-batch schedule); primes and b <= 8 stay whole-batch."""
     import os
 
     env = os.environ.get("DINOV2_TPU_BATCH_CHUNK")
     if env is not None:
         c = int(env)
         return c if c > 0 else None
-    return 8 if t >= 1024 else None
+    if t < 1024 or b <= 8:
+        return None
+    for cand in (8, 7, 6, 5, 4):
+        if b % cand == 0:
+            return cand
+    return None
 
 
 @partial(jax.jit, static_argnames=("config", "opts", "classify"))

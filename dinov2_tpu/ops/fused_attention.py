@@ -70,6 +70,21 @@ def _is_pow2(x: float) -> bool:
     return x > 0 and m == 0.5
 
 
+def _finite_div(num, l) -> jnp.ndarray:
+    """num / l with rows forced to NaN when the normalizer l is non-finite.
+
+    Closes the silent-zero band of the CLS-shift core (round-4 self-review):
+    every exp2 term of a row can be individually finite (< 2^128) while their
+    SUM overflows to inf inside the PV GEMM accumulation — then
+    finite_lane / inf == 0 is finite, the kernel's isfinite flag would NOT
+    trip, and the row would return silently all-zero. Poisoning the row with
+    NaN preserves the safety invariant the rescue relies on: EVERY overflow
+    lands non-finite in the kernel output (see the SAFETY note below).
+    Cost: one (t, 1) isfinite + one (t, hd) select — negligible next to the
+    (t, t) tile passes; applied only on the unsafe CLS-shift path."""
+    return jnp.where(jnp.isfinite(l), num / l, jnp.float32(jnp.nan))
+
+
 def _head_softmax_pv(q, k, v, scale, bias_col=None, safe=False) -> jnp.ndarray:
     """One head's attention core, shared by every slab kernel and the
     single-KV flash path: (t, hd) q/k/v -> (t, hd) f32
@@ -137,8 +152,13 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None, safe=False) -> jnp.ndarray:
     # 128 log2 units (untrained/rogue checkpoints — the synthetic std-0.5
     # fixtures hit ±370), exp2(s - s0) overflows to inf and the result goes
     # inf/NaN. The normalizer always contains the CLS term exp2(0)=1, so
-    # l >= 1 and 0/0 underflow is impossible — overflow-to-non-finite is the
-    # ONLY failure mode, and it always lands in the kernel's output. The
+    # l >= 1 and 0/0 underflow is impossible. Overflow has TWO modes: a
+    # per-cell exp2 overflow (spread >= 128) lands inf/NaN in the output
+    # directly, and in the narrow band just below (spread ~ 128 - log2(t))
+    # every term is finite but their SUM — the normalizer GEMM column —
+    # overflows, where finite_lane / inf would be a silently-WRONG finite 0;
+    # _finite_div poisons those rows to NaN, so every overflow lands
+    # non-finite in the kernel's output. The
     # rescue is OUTSIDE the kernel: each kernel ANDs an isfinite check over
     # its per-image result into a per-cell flag tile (~1/12 of a tile pass),
     # and the wrapper re-runs the whole pallas_call with safe=True (the
@@ -168,16 +188,22 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None, safe=False) -> jnp.ndarray:
         [v, jnp.ones((tk, 1), v.dtype), jnp.zeros((tk, aug - hd - 1), v.dtype)],
         axis=1,
     )
-    if safe or _sm3_mode() == "max":
-        shift = jnp.max(s, axis=-1, keepdims=True)  # exact, can't overflow
-    else:
+    unsafe_shift = not (safe or _sm3_mode() == "max")
+    if unsafe_shift:
         shift = s[:, 0:1]  # (t, 1) CLS-column scores
+    else:
+        shift = jnp.max(s, axis=-1, keepdims=True)  # exact, can't overflow
     p = jnp.exp2(s - shift)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return pv[:, :hd] / pv[:, hd : hd + 1]
+    l = pv[:, hd : hd + 1]
+    if unsafe_shift:
+        # with the row-max shift p <= 1 so l <= tk and cannot overflow;
+        # only the CLS-shift path needs the normalizer-overflow poison
+        return _finite_div(pv[:, :hd], l)
+    return pv[:, :hd] / l
 
 
 def _pack2() -> bool:
@@ -277,10 +303,12 @@ def _pair_softmax_pv(q2, k2, v2, scale) -> jnp.ndarray:
         p.astype(v2.dtype), jnp.concatenate([vt, vb], axis=0),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # (t, 256)
+    # the pair core only runs on the unsafe CLS-shift path (_use_pack2
+    # requires not safe), so both per-head normalizers get the overflow poison
     return jnp.concatenate(
         [
-            pv[:, :hd] / pv[:, hd : hd + 1],
-            pv[:, 128 : 128 + hd] / pv[:, 128 + hd : 128 + hd + 1],
+            _finite_div(pv[:, :hd], pv[:, hd : hd + 1]),
+            _finite_div(pv[:, 128 : 128 + hd], pv[:, 128 + hd : 128 + hd + 1]),
         ],
         axis=1,
     )

@@ -53,6 +53,13 @@ def main() -> None:
     from dinov2_tpu.models.vit import ModelOptions, forward
     from dinov2_tpu.utils.cache import enable_compilation_cache
 
+    # validate set names BEFORE any device work: a typo must fail instantly,
+    # not after a multi-second param init + transfer through the tunnel
+    sets = option_sets(dict(parity="reference", compute_dtype=jnp.bfloat16))
+    unknown = [s for s in args.sets if s not in sets]
+    if unknown:
+        sys.exit(f"unknown option sets {unknown}; choose from {sorted(sets)}")
+
     enable_compilation_cache()
     base = PRESETS[args.size]
     config = DinoConfig(**{**base.__dict__, "num_classes": 1000})
@@ -62,11 +69,6 @@ def main() -> None:
         rng.standard_normal((args.batch, args.img, args.img, 3)), dtype=jnp.float32
     )
     float(jnp.sum(jnp.ones((8, 128))))  # warm the transfer path
-
-    sets = option_sets(dict(parity="reference", compute_dtype=jnp.bfloat16))
-    unknown = [s for s in args.sets if s not in sets]
-    if unknown:
-        sys.exit(f"unknown option sets {unknown}; choose from {sorted(sets)}")
 
     for name in args.sets:
         opts = ModelOptions(**sets[name])

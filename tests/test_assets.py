@@ -113,8 +113,11 @@ def test_resolve_asset_finds_reference_files(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)  # no local assets/ here
     resolved = resolve_asset("assets/tench.jpg")
     assert Path(resolved).is_file()
-    # basename-only also resolves
-    assert Path(resolve_asset("giraffe.jpg")).is_file()
+    # ONLY the documented assets/ form falls back: a bare basename or any
+    # other relative path must NOT silently substitute a same-named bundled
+    # photo (the user's own file living elsewhere is the likely intent)
+    assert resolve_asset("giraffe.jpg") == "giraffe.jpg"
+    assert resolve_asset("photos/tench.jpg") == "photos/tench.jpg"
     # existing local files win
     local = tmp_path / "tench.jpg"
     local.write_bytes(b"x")

@@ -427,3 +427,22 @@ def test_batch_chunked_forward_matches_whole_batch(rng, monkeypatch):
         np.asarray(fallback["probs"]), np.asarray(whole["probs"]),
         rtol=2e-5, atol=2e-6,
     )
+
+
+def test_batch_chunk_divisor_pick(monkeypatch):
+    """_batch_chunk's auto policy: long-T batches chunk at the largest
+    divisor of b in [4, 8]; primes and b <= 8 stay whole-batch; short T
+    never chunks; the env override wins."""
+    from dinov2_tpu.models.vit import _batch_chunk
+
+    monkeypatch.delenv("DINOV2_TPU_BATCH_CHUNK", raising=False)
+    assert _batch_chunk(32, 1370) == 8
+    assert _batch_chunk(20, 1370) == 5  # non-multiple of 8 still chunks
+    assert _batch_chunk(12, 1370) == 6
+    assert _batch_chunk(13, 1370) is None  # prime: whole-batch
+    assert _batch_chunk(8, 1370) is None  # already the saturating size
+    assert _batch_chunk(64, 257) is None  # classify shapes stay whole-batch
+    monkeypatch.setenv("DINOV2_TPU_BATCH_CHUNK", "2")
+    assert _batch_chunk(64, 257) == 2
+    monkeypatch.setenv("DINOV2_TPU_BATCH_CHUNK", "0")
+    assert _batch_chunk(64, 1370) is None

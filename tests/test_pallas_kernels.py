@@ -170,6 +170,64 @@ def test_slab_matches_vanilla_f32(b, t, heads, d, rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def _narrow_band_qkv(t, heads, d, logit_gap=123.0):
+    """qkv whose non-CLS logits sit `logit_gap` log2 units above the CLS
+    column: each exp2(s - s0) term is finite (< 2^128) but their sum over the
+    keys overflows f32 — the normalizer-overflow band between per-cell
+    overflow (gap >= 128) and safety (gap small enough that t terms fit)."""
+    hd = d // heads
+    scale = 1.0 / hd**0.5
+    qk = logit_gap / (scale * np.log2(np.e))
+    qkv = np.zeros((1, t, 3 * d), np.float32)
+    qkv[:, :, 0::hd][:, :, :heads] = 1.0  # q: unit vector on dim 0, all heads
+    qkv[:, 1:, d::hd][:, :, :heads] = qk  # non-CLS keys: dim 0 = qk
+    qkv[:, :, 2 * d :] = 1e-3  # v small so the PV lanes stay finite
+    return jnp.asarray(qkv), scale
+
+
+def test_slab_normalizer_overflow_poisoned(rng):
+    """Round-4 self-review fix: in the CLS-shift core every exp2 term can be
+    finite while their SUM (the softmax normalizer, a GEMM column) overflows
+    to inf — finite_lane / inf == 0 is finite, so without _finite_div the
+    isfinite flag never trips and the row returns silently all-zero. The
+    poison must turn the row NaN inside the kernel so the rescue re-runs
+    with the exact row-max shift."""
+    from dinov2_tpu.ops.fused_attention import (
+        _finite_div, _slab_reference, slab_attention,
+    )
+
+    t, heads, d = 640, 2, 128
+    qkv, scale = _narrow_band_qkv(t, heads, d)
+    want = np.asarray(_slab_reference(qkv, heads, scale))
+    assert np.isfinite(want).all() and abs(want).max() > 1e-4
+    got = np.asarray(slab_attention(qkv, heads, scale, interpret=True))
+    assert np.isfinite(got).all()
+    # without the poison the overflowed rows come back all-zero
+    assert abs(got).max() > 1e-4
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # the poison itself: finite normalizer passes through, inf turns NaN
+    num = jnp.ones((4, 2), jnp.float32)
+    l_ok = jnp.full((4, 1), 2.0, jnp.float32)
+    l_inf = jnp.full((4, 1), np.inf, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(_finite_div(num, l_ok)), 0.5)
+    assert np.isnan(np.asarray(_finite_div(num, l_inf))).all()
+
+
+def test_slab_pack2_normalizer_overflow_poisoned(rng, monkeypatch):
+    """Same narrow band through the packed two-head core: both per-head
+    normalizer columns must carry the poison."""
+    from dinov2_tpu.ops import fused_attention as fa
+
+    monkeypatch.setenv("DINOV2_TPU_ATT_PACK2", "1")
+    t, heads, d = 96, 2, 128
+    qkv, scale = _narrow_band_qkv(t, heads, d)
+    assert fa._use_pack2(heads, d // heads, safe=False, t=t)
+    want = np.asarray(fa._slab_reference(qkv, heads, scale))
+    got = np.asarray(fa.slab_attention(qkv, heads, scale, interpret=True))
+    assert np.isfinite(got).all() and abs(got).max() > 1e-4
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_slab_augmented_overflow_fallback(rng):
     """The 3-pass CLS-shift softmax core (t >= aug gate) overflows exp2 when a
     row's logit spread vs the CLS column exceeds 128 log2 units; the in-kernel

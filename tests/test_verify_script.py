@@ -77,6 +77,9 @@ def test_find_auto_checkpoint_requires_config(tmp_path, monkeypatch):
     (weights_only / "pytorch_model.bin").write_bytes(b"\x00")
     monkeypatch.setenv("DINOV2_TPU_HF_DIR", str(weights_only))
     monkeypatch.delenv("HF_HOME", raising=False)
+    # isolate the Path.home() fallback too: on a machine whose real
+    # ~/.cache/huggingface holds a dinov2 snapshot the scan would find it
+    monkeypatch.setenv("HOME", str(tmp_path))
     ckpt, reason = verify_parity._find_auto_checkpoint()
     assert ckpt is None
     assert "no real DINOv2 checkpoint" in reason
