@@ -70,6 +70,14 @@ def _is_pow2(x: float) -> bool:
     return x > 0 and m == 0.5
 
 
+def _pv_f32() -> bool:
+    """A/B knob: keep the probability tile in f32 through the PV GEMM
+    (saves the (t, t) astype VPU pass; costs MXU passes). Default off."""
+    import os
+
+    return os.environ.get("DINOV2_TPU_PV_F32", "0") == "1"
+
+
 def _finite_div(num, l) -> jnp.ndarray:
     """num / l with rows forced to NaN when the normalizer l is non-finite.
 
@@ -194,10 +202,21 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None, safe=False) -> jnp.ndarray:
     else:
         shift = jnp.max(s, axis=-1, keepdims=True)  # exact, can't overflow
     p = jnp.exp2(s - shift)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # DINOV2_TPU_PV_F32=1: feed the PV GEMM the f32 probabilities directly,
+    # deleting the third full-tile VPU pass (the (t, t) f32->bf16 astype) at
+    # the cost of an f32-precision matmul (multiple bf16 MXU passes) — a
+    # candidate trade on the VPU-bound d=384 shapes where the MXU idles
+    # through the attention window. A/B knob; default off until measured.
+    if _pv_f32():
+        pv = jax.lax.dot_general(
+            p, v_aug.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     l = pv[:, hd : hd + 1]
     if unsafe_shift:
         # with the row-max shift p <= 1 so l <= tk and cannot overflow;

@@ -185,6 +185,21 @@ def _narrow_band_qkv(t, heads, d, logit_gap=123.0):
     return jnp.asarray(qkv), scale
 
 
+def test_slab_pv_f32_matches(rng, monkeypatch):
+    """DINOV2_TPU_PV_F32=1 (PV GEMM consumes the f32 probability tile,
+    deleting the astype pass) must be numerically equivalent — strictly more
+    precise than the default bf16-cast path."""
+    from dinov2_tpu.ops.fused_attention import _slab_reference, slab_attention
+
+    b, t, heads, d = 2, 96, 4, 256
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * d)), jnp.float32)
+    scale = 1.0 / (d // heads) ** 0.5
+    want = np.asarray(_slab_reference(qkv, heads, scale))
+    monkeypatch.setenv("DINOV2_TPU_PV_F32", "1")
+    got = np.asarray(slab_attention(qkv, heads, scale, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_slab_normalizer_overflow_poisoned(rng):
     """Round-4 self-review fix: in the CLS-shift core every exp2 term can be
     finite while their SUM (the softmax normalizer, a GEMM column) overflows
