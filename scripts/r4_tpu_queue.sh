@@ -39,6 +39,12 @@ echo "=== step 4: ViT-S MFU receipt (post self-review-fix state) $(date +%T) ===
 DINOV2_PROFILE_SIZE=small timeout 2400 python scripts/profile_mfu.py slab
 echo "vits rc=$?"
 
+echo "=== step 4b: PV-f32 A/B (ViT-S slab; astype pass vs f32 MXU passes) $(date +%T) ==="
+DINOV2_PROFILE_SIZE=small DINOV2_TPU_PV_F32=1 timeout 2400 python scripts/profile_mfu.py slab
+echo "pvf32-small rc=$?"
+DINOV2_TPU_PV_F32=1 timeout 2400 python scripts/profile_mfu.py slab
+echo "pvf32-base rc=$?"
+
 echo "=== step 5: training-step benchmark (new receipt) $(date +%T) ==="
 timeout 2400 python scripts/bench_train.py small 64
 echo "train-small rc=$?"
