@@ -21,6 +21,7 @@ weights are random with the real ViT-B/14 structure.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -32,8 +33,55 @@ ITERS = 50
 REPEATS = 3
 BASELINE_IMG_S = 5.0  # 200 ms/image, BASELINE.md ViT-B/14 fp16
 
+# The axon tunnel is single-client: an orphaned remote compile from an earlier
+# process can leave new claims bouncing UNAVAILABLE for a long stretch
+# (docs/TPU_NOTES.md). A failed backend init is cached inside a JAX process,
+# so the claim probe runs in a SUBPROCESS with bounded retries before this
+# process touches jax at all; only claim-probe success lets the benchmark run.
+CLAIM_ATTEMPTS = int(os.environ.get("DINOV2_TPU_CLAIM_ATTEMPTS", "6"))
+CLAIM_TIMEOUT_S = int(os.environ.get("DINOV2_TPU_CLAIM_TIMEOUT_S", "300"))
+CLAIM_SLEEP_S = int(os.environ.get("DINOV2_TPU_CLAIM_SLEEP_S", "60"))
+
+_PROBE = (
+    "import jax, jax.numpy as jnp\n"
+    "x = jnp.ones((256, 256))\n"
+    "(x @ x).block_until_ready()\n"
+    "print('CLAIM_OK', flush=True)\n"
+)
+
+
+def wait_for_device() -> None:
+    """Block until a subprocess can claim the device and run one matmul."""
+    import subprocess
+
+    for attempt in range(1, CLAIM_ATTEMPTS + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PROBE],
+                timeout=CLAIM_TIMEOUT_S,
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode == 0 and "CLAIM_OK" in proc.stdout:
+                return
+            detail = (proc.stderr or "").strip().splitlines()
+            detail = detail[-1] if detail else f"rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            detail = f"claim probe timed out after {CLAIM_TIMEOUT_S}s"
+        print(
+            f"bench: device claim attempt {attempt}/{CLAIM_ATTEMPTS} failed"
+            f" ({detail}); sleeping {CLAIM_SLEEP_S}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        if attempt < CLAIM_ATTEMPTS:
+            time.sleep(CLAIM_SLEEP_S)
+    print("bench: device unreachable after all claim attempts", file=sys.stderr)
+    raise SystemExit(2)
+
 
 def main() -> None:
+    wait_for_device()
     import jax
     import jax.numpy as jnp
     import numpy as np
