@@ -1,0 +1,53 @@
+"""bench.py's device-claim preamble: retry/succeed/fail behavior.
+
+The probe itself runs a subprocess jax matmul; these tests swap the probe
+body so no device is touched (CPU or TPU) and the retry loop is exercised
+with tiny timeouts.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench
+
+
+@pytest.fixture
+def fast_claim(monkeypatch):
+    monkeypatch.setattr(bench, "CLAIM_ATTEMPTS", 2)
+    monkeypatch.setattr(bench, "CLAIM_TIMEOUT_S", 5)
+    monkeypatch.setattr(bench, "CLAIM_SLEEP_S", 0)
+
+
+def test_claim_success(monkeypatch, fast_claim):
+    monkeypatch.setattr(bench, "_PROBE", "print('CLAIM_OK', flush=True)")
+    bench.wait_for_device()  # must return without raising
+
+
+def test_claim_failure_exits_nonzero(monkeypatch, fast_claim):
+    monkeypatch.setattr(bench, "_PROBE", "raise SystemExit(1)")
+    with pytest.raises(SystemExit) as exc:
+        bench.wait_for_device()
+    assert exc.value.code == 2
+
+
+def test_claim_timeout_then_success(monkeypatch, fast_claim):
+    # first attempt hangs past the bounded timeout, second succeeds
+    flag = Path(__file__).parent / "_claim_flag_tmp"
+    flag.unlink(missing_ok=True)
+    probe = (
+        "import pathlib, time\n"
+        f"f = pathlib.Path({str(flag)!r})\n"
+        "if not f.exists():\n"
+        "    f.write_text('x')\n"
+        "    time.sleep(60)\n"
+        "print('CLAIM_OK', flush=True)\n"
+    )
+    monkeypatch.setattr(bench, "_PROBE", probe)
+    try:
+        bench.wait_for_device()
+    finally:
+        flag.unlink(missing_ok=True)
