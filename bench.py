@@ -38,9 +38,18 @@ BASELINE_IMG_S = 5.0  # 200 ms/image, BASELINE.md ViT-B/14 fp16
 # (docs/TPU_NOTES.md). A failed backend init is cached inside a JAX process,
 # so the claim probe runs in a SUBPROCESS with bounded retries before this
 # process touches jax at all; only claim-probe success lets the benchmark run.
-CLAIM_ATTEMPTS = int(os.environ.get("DINOV2_TPU_CLAIM_ATTEMPTS", "6"))
-CLAIM_TIMEOUT_S = int(os.environ.get("DINOV2_TPU_CLAIM_TIMEOUT_S", "300"))
-CLAIM_SLEEP_S = int(os.environ.get("DINOV2_TPU_CLAIM_SLEEP_S", "60"))
+#
+# The schedule escalates: killing a timed-out probe is itself a killed client,
+# which re-wedges the next init for 15-40 min (docs/TPU_NOTES.md), so for a
+# fixed total budget ONE long sit-through attempt beats many short ones. The
+# short first attempt catches the healthy-tunnel case cheaply; the long second
+# can sit through an entire wedge-recovery window without being killed mid-init.
+CLAIM_SCHEDULE_S = tuple(
+    int(s)
+    for s in os.environ.get("DINOV2_TPU_CLAIM_SCHEDULE", "300,1500").split(",")
+    if s.strip()
+)
+CLAIM_SLEEP_S = int(os.environ.get("DINOV2_TPU_CLAIM_SLEEP_S", "120"))
 
 _PROBE = (
     "import jax, jax.numpy as jnp\n"
@@ -54,11 +63,12 @@ def wait_for_device() -> None:
     """Block until a subprocess can claim the device and run one matmul."""
     import subprocess
 
-    for attempt in range(1, CLAIM_ATTEMPTS + 1):
+    attempts = len(CLAIM_SCHEDULE_S)
+    for attempt, timeout_s in enumerate(CLAIM_SCHEDULE_S, start=1):
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", _PROBE],
-                timeout=CLAIM_TIMEOUT_S,
+                timeout=timeout_s,
                 capture_output=True,
                 text=True,
             )
@@ -67,14 +77,14 @@ def wait_for_device() -> None:
             detail = (proc.stderr or "").strip().splitlines()
             detail = detail[-1] if detail else f"rc={proc.returncode}"
         except subprocess.TimeoutExpired:
-            detail = f"claim probe timed out after {CLAIM_TIMEOUT_S}s"
+            detail = f"claim probe timed out after {timeout_s}s"
         print(
-            f"bench: device claim attempt {attempt}/{CLAIM_ATTEMPTS} failed"
+            f"bench: device claim attempt {attempt}/{attempts} failed"
             f" ({detail}); sleeping {CLAIM_SLEEP_S}s",
             file=sys.stderr,
             flush=True,
         )
-        if attempt < CLAIM_ATTEMPTS:
+        if attempt < attempts:
             time.sleep(CLAIM_SLEEP_S)
     print("bench: device unreachable after all claim attempts", file=sys.stderr)
     raise SystemExit(2)

@@ -17,9 +17,15 @@ import bench
 
 @pytest.fixture
 def fast_claim(monkeypatch):
-    monkeypatch.setattr(bench, "CLAIM_ATTEMPTS", 2)
-    monkeypatch.setattr(bench, "CLAIM_TIMEOUT_S", 5)
+    monkeypatch.setattr(bench, "CLAIM_SCHEDULE_S", (5, 5))
     monkeypatch.setattr(bench, "CLAIM_SLEEP_S", 0)
+
+
+def test_claim_schedule_env_parsing(monkeypatch):
+    # the default schedule escalates: one short probe, then one long
+    # sit-through attempt (killed probes re-wedge the tunnel, so for a fixed
+    # budget fewer/longer attempts dominate — docs/TPU_NOTES.md)
+    assert bench.CLAIM_SCHEDULE_S[-1] > bench.CLAIM_SCHEDULE_S[0]
 
 
 def test_claim_success(monkeypatch, fast_claim):
