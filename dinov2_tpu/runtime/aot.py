@@ -1,0 +1,131 @@
+"""AOT deployment artifacts: serialize the traced+lowered forward to disk.
+
+The reference rebuilds its ggml compute graph from the model-building C++ on
+every predict call (`/root/reference/dinov2.cpp:900-910`); the TPU analog of
+that per-process cost is Python tracing + XLA lowering at startup. This module
+pays it ONCE, offline: `export_forward` traces the jitted forward at a fixed
+(batch, height, width) bucket and serializes the lowered StableHLO — plus a
+self-describing JSON header (model config, parity/numerics options, shapes,
+jax version) — into a single artifact file. A serving host then
+`load_artifact(path)`s and calls it with the weight pytree; none of the
+model-building Python runs at load, and shape/dtype contracts are enforced by
+the serialized calling convention.
+
+Cross-platform by default: artifacts are lowered for BOTH "tpu" and "cpu"
+(`jax.export` multi-platform lowering), so one artifact exported on a CPU-only
+build box runs unchanged on the TPU serving fleet (and its numerics can be
+smoke-checked on CPU). The backend's machine-code compile still happens at
+load time — that step is per-chip-generation and is covered by the persistent
+XLA compilation cache (utils/cache.py) — what the artifact removes is the
+Python/tracing/lowering half of cold start, and the need to ship model code.
+
+Format: b"DAOT" magic, u8 version, u32 header length, UTF-8 JSON header,
+raw `jax.export` blob. The header is readable with `aot_info(path)` without
+touching jax at all (deployment tooling can inventory artifacts cheaply).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import asdict
+from pathlib import Path
+from typing import Any
+
+_MAGIC = b"DAOT"
+_VERSION = 1
+
+
+def _opts_meta(opts) -> dict:
+    d = asdict(opts)
+    d["compute_dtype"] = str(getattr(opts.compute_dtype, "__name__", opts.compute_dtype))
+    return d
+
+
+def export_forward(
+    params,
+    config,
+    opts,
+    batch: int,
+    height: int,
+    width: int,
+    classify: bool = True,
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
+) -> bytes:
+    """Trace + lower `models.vit.forward` at one static shape bucket and
+    return the serialized artifact bytes.
+
+    `params` may be the real weight pytree or a matching pytree of
+    `jax.ShapeDtypeStruct`s — only shapes/dtypes are consumed; weights are
+    NOT embedded (they stay in the GGUF, loaded independently at serving
+    time), so artifacts are small (~100 KB-1 MB of StableHLO, not model-sized).
+    """
+    import jax
+    from jax import export as jexport
+
+    from dinov2_tpu.models.vit import forward
+
+    pshape = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params
+    )
+    xshape = jax.ShapeDtypeStruct((batch, height, width, 3), jax.numpy.float32)
+
+    def fn(p, x):
+        return forward(p, x, config, opts, classify=classify)
+
+    exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(pshape, xshape)
+    blob = exp.serialize()
+
+    header = {
+        "kind": "dinov2_tpu.forward",
+        "model": {
+            k: v for k, v in asdict(config).items() if not k.startswith("_")
+        },
+        "opts": _opts_meta(opts),
+        "classify": classify,
+        "input": {"batch": batch, "height": height, "width": width, "channels": 3},
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+    }
+    hbytes = json.dumps(header, sort_keys=True).encode("utf-8")
+    return _MAGIC + struct.pack("<BI", _VERSION, len(hbytes)) + hbytes + blob
+
+
+def save_artifact(path: str | Path, data: bytes) -> None:
+    Path(path).write_bytes(data)
+
+
+def aot_info(path: str | Path) -> dict:
+    """Read an artifact's JSON header without importing jax (cheap inventory)."""
+    raw = Path(path).read_bytes()
+    if raw[:4] != _MAGIC:
+        raise ValueError(f"{path}: not a dinov2-tpu AOT artifact (bad magic)")
+    version, hlen = struct.unpack_from("<BI", raw, 4)
+    if version != _VERSION:
+        raise ValueError(f"{path}: unsupported artifact version {version}")
+    return json.loads(raw[9 : 9 + hlen].decode("utf-8"))
+
+
+class AotForward:
+    """A loaded artifact: `meta` (the JSON header) + `__call__(params, x)`.
+
+    Calls go through the serialized calling convention — mismatched shapes,
+    dtypes, or pytree structure raise at call time with jax.export's
+    contract errors rather than silently retracing (there is nothing to
+    retrace: the artifact is one fixed program)."""
+
+    def __init__(self, meta: dict, exported):
+        self.meta = meta
+        self._exported = exported
+
+    def __call__(self, params, x):
+        return self._exported.call(params, x)
+
+
+def load_artifact(path: str | Path) -> AotForward:
+    from jax import export as jexport
+
+    raw = Path(path).read_bytes()
+    meta = aot_info(path)
+    _, hlen = struct.unpack_from("<BI", raw, 4)
+    return AotForward(meta, jexport.deserialize(raw[9 + hlen :]))
