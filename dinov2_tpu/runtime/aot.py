@@ -42,6 +42,36 @@ def _opts_meta(opts) -> dict:
     return d
 
 
+_SERIALIZATION_REGISTERED = False
+
+
+def _register_serializations() -> None:
+    """Make custom pytree nodes serializable by jax.export (idempotent).
+
+    QuantLinear (models/params.py) is a registered pytree node, but
+    jax.export additionally needs a stable serialized name + auxdata codec to
+    embed the calling convention — required for fused-quant artifacts, where
+    the packed uint8 code planes and f32 scales are the weight leaves."""
+    global _SERIALIZATION_REGISTERED
+    if _SERIALIZATION_REGISTERED:
+        return
+    from jax import export as jexport
+
+    from dinov2_tpu.models.params import QuantLinear
+
+    jexport.register_pytree_node_serialization(
+        QuantLinear,
+        serialized_name="dinov2_tpu.models.params.QuantLinear",
+        serialize_auxdata=lambda aux: json.dumps(
+            [aux[0], list(aux[1]), aux[2]]
+        ).encode("utf-8"),
+        deserialize_auxdata=lambda b: (
+            (lambda v: (v[0], tuple(v[1]), v[2]))(json.loads(b.decode("utf-8")))
+        ),
+    )
+    _SERIALIZATION_REGISTERED = True
+
+
 def export_forward(
     params,
     config,
@@ -64,6 +94,8 @@ def export_forward(
     from jax import export as jexport
 
     from dinov2_tpu.models.vit import forward
+
+    _register_serializations()
 
     pshape = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params
@@ -125,6 +157,7 @@ class AotForward:
 def load_artifact(path: str | Path) -> AotForward:
     from jax import export as jexport
 
+    _register_serializations()
     raw = Path(path).read_bytes()
     meta = aot_info(path)
     _, hlen = struct.unpack_from("<BI", raw, 4)

@@ -113,6 +113,32 @@ def test_artifact_shape_contract(loaded, tmp_path):
         art(loaded.params, np.zeros((2, 84, 84, 3), np.float32))  # wrong size
 
 
+def test_fused_quant_artifact(ckpt, tmp_path):
+    """QuantLinear leaves (packed uint8 planes + f32 scales) serialize through
+    the registered pytree-node codec; the artifact matches the live fused
+    forward exactly."""
+    import jax.numpy as jnp
+
+    from dinov2_tpu.models.params import load_params
+    from dinov2_tpu.models.vit import ModelOptions, forward
+    from dinov2_tpu.quant.quantize import quantize_gguf
+    from dinov2_tpu.runtime.aot import export_forward, load_artifact, save_artifact
+
+    q = tmp_path / "q8.gguf"
+    quantize_gguf(str(ckpt), str(q), "q8_0")
+    loaded = load_params(q, dtype=jnp.float32, quant_mode="fused")
+    opts = ModelOptions(compute_dtype=jnp.float32)
+    path = tmp_path / "q.aot"
+    save_artifact(path, export_forward(
+        loaded.params, loaded.config, opts, batch=1, height=70, width=70,
+        platforms=("cpu",),
+    ))
+    x = np.full((1, 70, 70, 3), 0.5, np.float32)
+    got = load_artifact(path)(loaded.params, x)
+    want = forward(loaded.params, jnp.asarray(x), loaded.config, opts, classify=True)
+    np.testing.assert_array_equal(np.asarray(got["probs"]), np.asarray(want["probs"]))
+
+
 def test_bad_magic_rejected(tmp_path):
     from dinov2_tpu.runtime.aot import aot_info
 
