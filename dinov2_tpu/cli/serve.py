@@ -11,6 +11,26 @@ import sys
 from dinov2_tpu.cli._common import add_common_args, dtype_of, mesh_axes_of
 
 
+def _warmup_buckets(spec: str, max_batch: int) -> list[int]:
+    """Parse --warmup into the sorted batch buckets to precompile."""
+    if spec == "0":
+        return []
+    if spec == "full":
+        out, b = [], 1
+        while b < max_batch:
+            out.append(b)
+            b *= 2
+        out.append(b)  # the bucket that covers max_batch itself
+        return out
+    try:
+        vals = sorted({int(v) for v in spec.split(",") if v.strip()})
+    except ValueError:
+        raise SystemExit(f"--warmup {spec!r}: expected '0', 'full', or a comma list of ints")
+    if any(v < 1 for v in vals):
+        raise SystemExit(f"--warmup {spec!r}: buckets must be >= 1")
+    return vals
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
@@ -18,6 +38,14 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--warmup", default="1", metavar="SPEC",
+                   help="batch buckets to precompile at boot: a comma list "
+                   "(e.g. 1,8,32), 'full' = every power-of-2 bucket up to "
+                   "--max-batch, or '0' = none. The forward program is keyed "
+                   "by batch bucket (engine._bucket), so this removes the "
+                   "first-request compile stall at each coalescing level "
+                   "(measured 69 s uncached through the TPU tunnel, "
+                   "docs/TPU_NOTES.md round 3)")
     args = p.parse_args(argv)
 
     from dinov2_tpu.runtime.engine import DinoEngine
@@ -33,7 +61,8 @@ def main(argv=None) -> int:
         mesh_axes=mesh_axes_of(args),
     )
     if engine.loaded.has_classifier:
-        engine.warmup((256, 256), batch=1, classify=True)
+        for b in _warmup_buckets(args.warmup, args.max_batch):
+            engine.warmup((256, 256), batch=b, classify=True)
 
     server = BatchingServer(
         engine,

@@ -203,3 +203,38 @@ def test_server_mixed_concurrent_load(server, rng):
         t.join(timeout=600)
     assert not errors, errors[:3]
     assert all(r is not None for r in results)
+
+
+def test_warmup_bucket_spec():
+    """--warmup spec parsing: comma list, 'full' power-of-2 ladder (including
+    the bucket that covers a non-power-of-2 max batch), '0' = none, and
+    actionable errors for junk."""
+    from dinov2_tpu.cli.serve import _warmup_buckets
+
+    assert _warmup_buckets("0", 32) == []
+    assert _warmup_buckets("1", 32) == [1]
+    assert _warmup_buckets("8,1,8", 32) == [1, 8]
+    assert _warmup_buckets("full", 32) == [1, 2, 4, 8, 16, 32]
+    assert _warmup_buckets("full", 20) == [1, 2, 4, 8, 16, 32]
+    assert _warmup_buckets("full", 1) == [1]
+    with pytest.raises(SystemExit, match="comma list"):
+        _warmup_buckets("fast", 32)
+    with pytest.raises(SystemExit, match=">= 1"):
+        _warmup_buckets("0,4", 32)
+
+
+def test_engine_warmup_precompiles_buckets(tmp_path, rng):
+    """engine.warmup at a bucket compiles the same programs a request at that
+    batch size uses: after warming 1 and 4, mixed-size classify batches of
+    1-4 images run and agree with per-image calls."""
+    cfg = DinoConfig(hidden_size=64, num_hidden_layers=1, num_attention_heads=2,
+                     num_classes=4, patch_size=14, img_size=70)
+    path = tmp_path / "w.gguf"
+    write_synthetic_gguf(path, cfg, seed=11)
+    engine = DinoEngine(str(path), dtype=jnp.float32)
+    for b in (1, 4):
+        engine.warmup((256, 256), batch=b, classify=True)
+    imgs = [rng.integers(0, 255, (256, 256, 3), dtype=np.uint8) for _ in range(3)]
+    batched = engine.classify_probs(np.stack(imgs))
+    single = np.stack([engine.classify_probs(i[None])[0] for i in imgs])
+    np.testing.assert_allclose(batched, single, rtol=2e-5, atol=2e-6)
