@@ -38,6 +38,11 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--max-body-mb", type=float, default=32.0,
+                   help="reject request bodies larger than this (413)")
+    p.add_argument("--max-side", type=int, default=4096,
+                   help="reject images with a side longer than this (400); "
+                   "every new image size compiles its own program")
     p.add_argument("--warmup", default="1", metavar="SPEC",
                    help="batch buckets to precompile at boot: a comma list "
                    "(e.g. 1,8,32), 'full' = every power-of-2 bucket up to "
@@ -71,6 +76,8 @@ def main(argv=None) -> int:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         topk=args.topk,
+        max_body_mb=args.max_body_mb,
+        max_side=args.max_side,
     )
     print(f"serving on http://{args.host}:{server.port}", file=sys.stderr)
     server.serve_forever()

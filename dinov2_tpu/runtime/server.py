@@ -50,12 +50,21 @@ class BatchingServer:
         max_wait_ms: float = 5.0,
         topk: int = 5,
         request_timeout_s: float = 600.0,
+        max_body_mb: float = 32.0,
+        max_side: int = 4096,
     ):
         self.engine = engine
         self.topk = topk
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.request_timeout_s = request_timeout_s
+        # Request caps: an unbounded body is a memory-DoS, and an unbounded
+        # image resolution is a COMPILE bomb on this runtime — every new
+        # feature-mode size compiles its own XLA program (T grows with
+        # pixels; a 100-MP PNG would hold the device for minutes). 413/400
+        # instead, with the limit in the message.
+        self.max_body_bytes = int(max_body_mb * 1024 * 1024)
+        self.max_side = max_side
         self._queue: queue.Queue[_Pending] = queue.Queue()
         self._stop = threading.Event()
         self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
@@ -110,6 +119,13 @@ class BatchingServer:
                     self._reply(404, {"error": "not found"})
                     return
                 length = int(self.headers.get("Content-Length", 0))
+                if length > server.max_body_bytes:
+                    self.close_connection = True  # don't drain the huge body
+                    self._reply(413, {
+                        "error": f"body {length} bytes exceeds the "
+                        f"{server.max_body_bytes}-byte limit"
+                    })
+                    return
                 data = self.rfile.read(length)
                 try:
                     import cv2
@@ -121,6 +137,13 @@ class BatchingServer:
                     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
                 except Exception as e:  # noqa: BLE001
                     self._reply(400, {"error": str(e)})
+                    return
+                if max(img.shape[0], img.shape[1]) > server.max_side:
+                    self._reply(400, {
+                        "error": f"image {img.shape[1]}x{img.shape[0]} exceeds "
+                        f"the {server.max_side}px side limit (each new size "
+                        f"compiles its own program)"
+                    })
                     return
                 pending = _Pending(image=img, mode=mode)
                 server._queue.put(pending)

@@ -238,3 +238,36 @@ def test_engine_warmup_precompiles_buckets(tmp_path, rng):
     batched = engine.classify_probs(np.stack(imgs))
     single = np.stack([engine.classify_probs(i[None])[0] for i in imgs])
     np.testing.assert_allclose(batched, single, rtol=2e-5, atol=2e-6)
+
+
+def test_request_caps_413_and_400(tmp_path, rng):
+    """Production guards: oversized bodies bounce 413 before being read;
+    in-cap bodies whose decoded image exceeds the side limit bounce 400 (each
+    new image size compiles its own program — the cap is a compile-bomb
+    guard); normal requests on the same capped server still succeed."""
+    import urllib.error
+
+    path = tmp_path / "mcap.gguf"
+    write_synthetic_gguf(path, TINY, seed=3)
+    engine = DinoEngine(path, dtype=jnp.float32)
+    srv = BatchingServer(engine, port=0, max_body_mb=0.05, max_side=200)
+    srv.start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/classify"
+        # body over 50 KB -> 413 with the limit named
+        big = urllib.request.Request(url, data=b"\0" * 80_000, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(big, timeout=60)
+        assert exc.value.code == 413
+        assert "limit" in json.loads(exc.value.read())["error"]
+        # tiny body, 300x50 image -> side 300 > 200 -> 400
+        wide = urllib.request.Request(url, data=_jpg(rng, 50, 300), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(wide, timeout=60)
+        assert exc.value.code == 400
+        assert "side limit" in json.loads(exc.value.read())["error"]
+        # a compliant request still classifies
+        out = _post(srv.port, "/classify", _jpg(rng, 70, 70))
+        assert "topk" in out
+    finally:
+        srv.stop()
