@@ -70,3 +70,51 @@ def test_missing_required_kv(tmp_path):
     with pytest.raises(KeyError):
         DinoConfig.from_gguf_kv(r.kv)
     r.close()
+
+
+def test_fuzz_truncations_and_corruptions(tmp_path, rng):
+    """Randomized robustness sweep: any truncation of a valid GGUF, and
+    random single-byte corruptions of its header/KV region, must raise a
+    typed error (ValueError/EOFError/KeyError/UnicodeDecodeError) promptly —
+    never hang, crash the process, or return a silently-broken reader."""
+    from dinov2_tpu.io.gguf import GGUFReader
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.config import DinoConfig
+
+    cfg = DinoConfig(hidden_size=64, num_hidden_layers=1, num_attention_heads=2,
+                     num_classes=2, patch_size=14, img_size=70)
+    src = tmp_path / "good.gguf"
+    write_synthetic_gguf(src, cfg, seed=5)
+    data = src.read_bytes()
+    GGUFReader(src)  # sanity: the pristine file parses
+
+    ok_errors = (ValueError, EOFError, KeyError, IndexError, UnicodeDecodeError,
+                 OverflowError, MemoryError, struct.error)
+    path = tmp_path / "fuzz.gguf"
+
+    # truncations across the whole file, denser near the header
+    cuts = sorted(set(
+        list(range(0, 200, 7))
+        + [int(v) for v in rng.integers(200, len(data) - 1, size=40)]
+    ))
+    for cut in cuts:
+        path.write_bytes(data[:cut])
+        try:
+            r = GGUFReader(path)
+            # a parseable truncation must still expose consistent tensors
+            for t in r.tensors.values():
+                t.as_numpy()
+        except ok_errors:
+            pass
+
+    # single-byte corruptions in the header + KV region
+    for off in rng.integers(4, min(2000, len(data)), size=60):
+        buf = bytearray(data)
+        buf[off] ^= 0xFF
+        path.write_bytes(bytes(buf))
+        try:
+            r = GGUFReader(path)
+            for t in r.tensors.values():
+                t.as_numpy()
+        except ok_errors:
+            pass
