@@ -29,18 +29,22 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                    help="force the flash-attention path (default: per-shape auto)")
 
 
-def _load(args):
+_DTYPES = {"bf16": "bfloat16", "f32": "float32"}
+
+
+def _load(model: str, dtype_name: str, quant_mode: str, parity: str = "reference",
+          flash_attn: bool = False):
     import jax.numpy as jnp
 
     from dinov2_tpu.models.params import load_params
     from dinov2_tpu.models.vit import ModelOptions
 
-    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
-    loaded = load_params(args.model, dtype=dtype, quant_mode=args.quant_mode)
+    dtype = getattr(jnp, _DTYPES[dtype_name])
+    loaded = load_params(model, dtype=dtype, quant_mode=quant_mode)
     opts = ModelOptions(
-        parity=args.parity,
+        parity=parity,
         compute_dtype=dtype,
-        flash_attention=True if args.flash_attn else "auto",
+        flash_attention=True if flash_attn else "auto",
     )
     return loaded, opts
 
@@ -64,9 +68,14 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="print an artifact's JSON header")
     pi.add_argument("artifact")
 
-    pr = sub.add_parser("run", help="classify an image through an artifact")
+    pr = sub.add_parser(
+        "run",
+        help="classify an image through an artifact (weight dtype, quant "
+        "layout, and numerics come from the artifact header — the serialized "
+        "program fixed them at export time)",
+    )
     pr.add_argument("artifact")
-    _add_model_flags(pr)
+    pr.add_argument("-m", "--model", required=True, help="model path (GGUF)")
     pr.add_argument("-i", "--inp", default="assets/tench.jpg")
     pr.add_argument("-k", "--topk", type=int, default=5)
 
@@ -85,7 +94,13 @@ def main(argv=None) -> int:
             h, w = (int(v) for v in args.size.lower().split("x"))
         except ValueError:
             raise SystemExit(f"--size {args.size!r}: expected HxW integers")
-        loaded, opts = _load(args)
+        platforms = tuple(
+            p.strip() for p in args.platforms.split(",") if p.strip()
+        )
+        if not platforms:
+            raise SystemExit(f"--platforms {args.platforms!r}: nothing to lower for")
+        loaded, opts = _load(args.model, args.dtype, args.quant_mode,
+                             args.parity, args.flash_attn)
         data = export_forward(
             loaded.params,
             loaded.config,
@@ -94,7 +109,10 @@ def main(argv=None) -> int:
             height=h,
             width=w,
             classify=not args.features,
-            platforms=tuple(p for p in args.platforms.split(",") if p),
+            platforms=platforms,
+            # run-time loading recipe: the artifact's program is fixed, so
+            # `run` must rebuild the SAME param pytree (dtype + quant layout)
+            extra_meta={"load": {"dtype": args.dtype, "quant_mode": args.quant_mode}},
         )
         save_artifact(args.out, data)
         print(
@@ -113,7 +131,12 @@ def main(argv=None) -> int:
     from dinov2_tpu.runtime.aot import load_artifact
 
     art = load_artifact(args.artifact)
-    loaded, _ = _load(args)
+    load_spec = art.meta.get("load", {})
+    loaded, _ = _load(
+        args.model,
+        load_spec.get("dtype", "bf16"),
+        load_spec.get("quant_mode", "dequant"),
+    )
     meta = art.meta["input"]
     img = load_image_rgb(args.inp)
     if art.meta["classify"]:

@@ -28,7 +28,21 @@ def _warmup_buckets(spec: str, max_batch: int) -> list[int]:
         raise SystemExit(f"--warmup {spec!r}: expected '0', 'full', or a comma list of ints")
     if any(v < 1 for v in vals):
         raise SystemExit(f"--warmup {spec!r}: buckets must be >= 1")
-    return vals
+    # the batcher never builds a batch beyond max_batch, so the largest
+    # reachable program is the bucket covering max_batch — warming past it
+    # would burn boot time (~69 s/bucket uncached) on dead programs
+    cap, usable = 1, []
+    while cap < max_batch:
+        cap *= 2
+    for v in vals:
+        if v > cap:
+            import sys
+
+            print(f"warmup: dropping bucket {v} (> max reachable bucket {cap} "
+                  f"for --max-batch {max_batch})", file=sys.stderr)
+        else:
+            usable.append(v)
+    return usable
 
 
 def main(argv=None) -> int:

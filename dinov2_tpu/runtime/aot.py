@@ -81,6 +81,7 @@ def export_forward(
     width: int,
     classify: bool = True,
     platforms: tuple[str, ...] = ("tpu", "cpu"),
+    extra_meta: dict | None = None,
 ) -> bytes:
     """Trace + lower `models.vit.forward` at one static shape bucket and
     return the serialized artifact bytes.
@@ -119,6 +120,8 @@ def export_forward(
         "platforms": list(platforms),
         "jax_version": jax.__version__,
     }
+    if extra_meta:
+        header.update(extra_meta)
     hbytes = json.dumps(header, sort_keys=True).encode("utf-8")
     return _MAGIC + struct.pack("<BI", _VERSION, len(hbytes)) + hbytes + blob
 
@@ -127,15 +130,23 @@ def save_artifact(path: str | Path, data: bytes) -> None:
     Path(path).write_bytes(data)
 
 
-def aot_info(path: str | Path) -> dict:
-    """Read an artifact's JSON header without importing jax (cheap inventory)."""
-    raw = Path(path).read_bytes()
+def _parse_header(raw: bytes, name: str) -> tuple[dict, int]:
+    """(header dict, offset of the jax.export blob) from artifact bytes."""
     if raw[:4] != _MAGIC:
-        raise ValueError(f"{path}: not a dinov2-tpu AOT artifact (bad magic)")
+        raise ValueError(f"{name}: not a dinov2-tpu AOT artifact (bad magic)")
+    if len(raw) < 9:
+        raise ValueError(f"{name}: truncated artifact (header prefix cut short)")
     version, hlen = struct.unpack_from("<BI", raw, 4)
     if version != _VERSION:
-        raise ValueError(f"{path}: unsupported artifact version {version}")
-    return json.loads(raw[9 : 9 + hlen].decode("utf-8"))
+        raise ValueError(f"{name}: unsupported artifact version {version}")
+    if len(raw) < 9 + hlen:
+        raise ValueError(f"{name}: truncated artifact (header cut short)")
+    return json.loads(raw[9 : 9 + hlen].decode("utf-8")), 9 + hlen
+
+
+def aot_info(path: str | Path) -> dict:
+    """Read an artifact's JSON header without importing jax (cheap inventory)."""
+    return _parse_header(Path(path).read_bytes(), str(path))[0]
 
 
 class AotForward:
@@ -159,6 +170,5 @@ def load_artifact(path: str | Path) -> AotForward:
 
     _register_serializations()
     raw = Path(path).read_bytes()
-    meta = aot_info(path)
-    _, hlen = struct.unpack_from("<BI", raw, 4)
-    return AotForward(meta, jexport.deserialize(raw[9 + hlen :]))
+    meta, blob_off = _parse_header(raw, str(path))
+    return AotForward(meta, jexport.deserialize(raw[blob_off:]))

@@ -19,7 +19,11 @@ print('matmul ok', f'{time.time()-t0:.1f}s total', flush=True)
 " || { echo "TUNNEL DEAD rc=$?"; exit 1; }
 
 echo "=== step 1: bench.py sanity (flagship) $(date +%T) ==="
-timeout 1800 python bench.py
+# step 0 just verified the claim, so bench.py's own claim probe only needs a
+# short window; the FULL default schedule (300+120+1500 s) exceeds this outer
+# timeout and would get the long sit-through killed mid-init (a killed client
+# re-wedges the tunnel, docs/TPU_NOTES.md)
+DINOV2_TPU_CLAIM_SCHEDULE=300,600 DINOV2_TPU_CLAIM_SLEEP_S=60 timeout 2400 python bench.py
 echo "bench rc=$?"
 
 echo "=== step 2: tpu_suite refresh $(date +%T) ==="
@@ -64,6 +68,6 @@ for size in small base large giant; do
 done
 
 echo "=== step 7: final bench.py $(date +%T) ==="
-timeout 1800 python bench.py
+DINOV2_TPU_CLAIM_SCHEDULE=300,600 DINOV2_TPU_CLAIM_SLEEP_S=60 timeout 2400 python bench.py
 echo "bench rc=$?"
 echo "=== queue done $(date +%T) ==="

@@ -146,6 +146,15 @@ def test_bad_magic_rejected(tmp_path):
     p.write_bytes(b"NOPE" + b"\0" * 64)
     with pytest.raises(ValueError, match="bad magic"):
         aot_info(p)
+    # truncations stay typed ValueErrors too (prefix cut, then header cut)
+    p.write_bytes(b"DAOT\x01")
+    with pytest.raises(ValueError, match="truncated artifact"):
+        aot_info(p)
+    import struct
+
+    p.write_bytes(b"DAOT" + struct.pack("<BI", 1, 500) + b"{}")
+    with pytest.raises(ValueError, match="truncated artifact"):
+        aot_info(p)
 
 
 def test_cli_export_info_run(ckpt, tmp_path, capsys):
@@ -168,10 +177,9 @@ def test_cli_export_info_run(ckpt, tmp_path, capsys):
     img = tmp_path / "in.png"
     cv2.imwrite(str(img), np.random.default_rng(0).integers(
         0, 255, (60, 80, 3), dtype=np.uint8))
-    rc = cli.main([
-        "run", str(art), "-m", str(ckpt), "--dtype", "f32", "-i", str(img),
-        "-k", "2",
-    ])
+    # run reads the weight-loading recipe (dtype/quant layout) from the
+    # artifact header — no flags to get wrong
+    rc = cli.main(["run", str(art), "-m", str(ckpt), "-i", str(img), "-k", "2"])
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count(" > ") == 2  # top-k lines in the reference's print format
@@ -191,11 +199,9 @@ def test_cli_run_size_mismatch_is_actionable(ckpt, tmp_path, capsys):
     img = tmp_path / "big.png"
     cv2.imwrite(str(img), np.zeros((100, 100, 3), np.uint8))
     with pytest.raises(SystemExit, match="does not match the artifact"):
-        cli.main(["run", str(art), "-m", str(ckpt), "--dtype", "f32", "-i", str(img)])
+        cli.main(["run", str(art), "-m", str(ckpt), "-i", str(img)])
     # matching input runs the feature tap
     img2 = tmp_path / "ok.png"
     cv2.imwrite(str(img2), np.zeros((70, 70, 3), np.uint8))
-    assert cli.main([
-        "run", str(art), "-m", str(ckpt), "--dtype", "f32", "-i", str(img2),
-    ]) == 0
+    assert cli.main(["run", str(art), "-m", str(ckpt), "-i", str(img2)]) == 0
     assert "patch tokens: (36, 64)" in capsys.readouterr().out

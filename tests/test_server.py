@@ -221,6 +221,10 @@ def test_warmup_bucket_spec():
         _warmup_buckets("fast", 32)
     with pytest.raises(SystemExit, match=">= 1"):
         _warmup_buckets("0,4", 32)
+    # buckets beyond the one covering max_batch can never serve a request —
+    # dropped (with a stderr note), not compiled
+    assert _warmup_buckets("64", 32) == []
+    assert _warmup_buckets("8,64", 20) == [8]
 
 
 def test_engine_warmup_precompiles_buckets(tmp_path, rng):
