@@ -38,6 +38,7 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: str | None = None
+    t_enq: float = 0.0  # perf_counter at enqueue, for request-latency stats
 
 
 class BatchingServer:
@@ -69,6 +70,11 @@ class BatchingServer:
         self._stop = threading.Event()
         self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
         self.stats = {"requests": 0, "batches": 0, "images": 0}
+        # enqueue->completion wall time of the last 1024 successful requests
+        # (deque.append is atomic under the GIL; readers snapshot)
+        import collections
+
+        self._latencies: collections.deque[float] = collections.deque(maxlen=1024)
 
         server = self
 
@@ -97,6 +103,7 @@ class BatchingServer:
                                 "registers": cfg.num_register_tokens,
                             },
                             "stats": server.stats,
+                            "latency_ms": server.latency_stats(),
                         },
                     )
                 else:
@@ -145,20 +152,38 @@ class BatchingServer:
                         f"compiles its own program)"
                     })
                     return
-                pending = _Pending(image=img, mode=mode)
+                pending = _Pending(image=img, mode=mode, t_enq=time.perf_counter())
                 server._queue.put(pending)
                 if not pending.event.wait(timeout=server.request_timeout_s):
                     # Batcher thread dead/wedged — never reply 200 with null.
                     self._reply(504, {"error": "inference timed out"})
                 elif pending.error:
                     self._reply(500, {"error": pending.error})
-                elif isinstance(pending.result, bytes):
-                    self._reply_png(pending.result)
                 else:
-                    self._reply(200, pending.result)
+                    server._latencies.append(time.perf_counter() - pending.t_enq)
+                    if isinstance(pending.result, bytes):
+                        self._reply_png(pending.result)
+                    else:
+                        self._reply(200, pending.result)
 
         self._http = ThreadingHTTPServer((host, port), Handler)
         self.port = self._http.server_address[1]
+
+    # ------------------------------------------------------------------
+    def latency_stats(self) -> dict[str, float] | None:
+        """p50/p90/p99/max over the last <=1024 request latencies, in ms.
+        None until the first request completes (healthz before any traffic)."""
+        snap = sorted(self._latencies)
+        if not snap:
+            return None
+        pick = lambda q: snap[min(len(snap) - 1, int(q * len(snap)))]  # noqa: E731
+        return {
+            "count": len(snap),
+            "p50": round(pick(0.50) * 1e3, 2),
+            "p90": round(pick(0.90) * 1e3, 2),
+            "p99": round(pick(0.99) * 1e3, 2),
+            "max": round(snap[-1] * 1e3, 2),
+        }
 
     # ------------------------------------------------------------------
     def _batch_loop(self):

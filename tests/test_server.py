@@ -275,3 +275,19 @@ def test_request_caps_413_and_400(tmp_path, rng):
         assert "topk" in out
     finally:
         srv.stop()
+
+
+def test_healthz_latency_percentiles(server, rng):
+    """After traffic, /healthz exposes rolling p50/p90/p99/max request
+    latencies (enqueue -> completion) in ms."""
+    for _ in range(3):
+        _post(server.port, "/classify", _jpg(rng, 70, 70))
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/healthz", timeout=60
+    ) as resp:
+        lat = json.loads(resp.read())["latency_ms"]
+    assert lat["count"] >= 3
+    assert 0 < lat["p50"] <= lat["p90"] <= lat["p99"] <= lat["max"]
+    # direct-unit check of the percentile picker
+    srv_stats = server.latency_stats()
+    assert srv_stats["count"] == lat["count"] or srv_stats["count"] >= lat["count"]
