@@ -1,5 +1,14 @@
 # Developer entry points for dinov2-tpu.
-.PHONY: native test bench suite clean
+.PHONY: native test bench suite clean clean-check
+
+# Run the full suite from a pristine worktree of HEAD: proves the committed
+# tree is self-sufficient (no untracked fixtures / local state). Fails if any
+# test needs a file that was never committed.
+clean-check:
+	@set -e; WT=$$(mktemp -d /tmp/dinov2-cleancheck.XXXXXX); \
+	git worktree add --detach $$WT HEAD >/dev/null; \
+	trap 'git worktree remove --force $$WT' EXIT; \
+	cd $$WT && python -m pytest tests/ -q
 
 native:
 	$(MAKE) -C csrc libdinogguf.so

@@ -26,6 +26,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Self-heal the foreign-writer GGUF fixture: it is committed, but if a clean
+# checkout (or an over-eager `git clean -xdf`) lost it, regenerate it from its
+# deterministic generator so the suite never fails on missing binary state.
+_FOREIGN = Path(__file__).parent / "fixtures" / "foreign_v3.gguf"
+if not _FOREIGN.exists():
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, str(_FOREIGN.parent / "gen_foreign_gguf.py")], check=True
+    )
+
 
 @pytest.fixture
 def rng():
