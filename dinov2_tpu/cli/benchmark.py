@@ -30,7 +30,7 @@ def _tree_device_bytes(tree) -> int:
     )
 
 
-def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode):
+def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode, px=224):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +51,7 @@ def _bench_model(model_path, batch_sizes, iters, dtype_name, flash, quant_mode):
     rows = []
     for batch in batch_sizes:
         x = jnp.asarray(
-            np.random.default_rng(0).standard_normal((batch, 224, 224, 3)),
+            np.random.default_rng(0).standard_normal((batch, px, px, 3)),
             dtype=jnp.float32,
         )
 
@@ -116,6 +116,16 @@ def main(argv=None) -> int:
                    help="also quantize+benchmark: comma list of q4_0,q4_1,q5_0,q5_1,q8_0")
     p.add_argument("--quant-mode", default="dequant", choices=["dequant", "fused"])
     p.add_argument("-fa", "--flash-attn", action="store_true")
+    p.add_argument("--registers", type=int, default=0,
+                   help="synthetic checkpoints: number of register tokens "
+                        "(the reference benches reg and no-reg variants, "
+                        "README.md:291-409)")
+    p.add_argument("--px", type=int, default=224,
+                   help="input resolution fed to the forward (224 classify, "
+                        "518 feature mode)")
+    p.add_argument("--features", action="store_true",
+                   help="synthetic checkpoints: no classifier head — bench the "
+                        "backbone feature tap instead of classify")
     p.add_argument("--json", action="store_true", help="emit JSON instead of markdown")
     args = p.parse_args(argv)
 
@@ -131,7 +141,11 @@ def main(argv=None) -> int:
         from dinov2_tpu.models.config import PRESETS, DinoConfig
 
         cfg = PRESETS[args.size]
-        cfg = DinoConfig(**{**cfg.__dict__, "num_classes": 1000})
+        cfg = DinoConfig(**{
+            **cfg.__dict__,
+            "num_classes": 0 if args.features else 1000,
+            "num_register_tokens": args.registers,
+        })
         model_path = tmpdir / f"{args.size}.gguf"
         print(f"writing synthetic {args.size} checkpoint...", file=sys.stderr)
         write_synthetic_gguf(model_path, cfg)
@@ -151,7 +165,7 @@ def main(argv=None) -> int:
         print(f"benchmarking {name}...", file=sys.stderr)
         _, rows = _bench_model(
             path, batch_sizes, args.iters, args.dtype,
-            True if args.flash_attn else "auto", qmode
+            True if args.flash_attn else "auto", qmode, px=args.px
         )
         results[name] = rows
 

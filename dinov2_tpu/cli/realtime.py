@@ -113,14 +113,18 @@ def main(argv=None) -> int:
     n = 0
     quit_requested = False
     t_start = time.perf_counter()
+    t_warm = None  # wall clock after the warmup frames (first-frame compile)
+    WARMUP_FRAMES = 3
 
     def show(frame, vis) -> bool:
         """Resize/compose/display one finished frame; returns False on 'q'."""
-        nonlocal last, n
+        nonlocal last, n, t_warm
         vis = cv2.resize(vis, (WIDTH, HEIGHT), interpolation=cv2.INTER_NEAREST)
         combined = np.concatenate([frame, vis], axis=1)
         last = combined
         n += 1
+        if n == WARMUP_FRAMES:
+            t_warm = time.perf_counter()
         print(
             f"frame {n}: graph computation took {engine.last_compute_ms:.2f} ms",
             file=sys.stderr,
@@ -169,6 +173,14 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t_start
     if n:
         print(f"{n} frames in {dt:.2f}s = {n / dt:.2f} FPS", file=sys.stderr)
+    if t_warm is not None and n > WARMUP_FRAMES:
+        sdt = time.perf_counter() - t_warm
+        print(
+            f"steady-state (excl. first {WARMUP_FRAMES}): "
+            f"{n - WARMUP_FRAMES} frames in {sdt:.2f}s = "
+            f"{(n - WARMUP_FRAMES) / sdt:.2f} FPS",
+            file=sys.stderr,
+        )
     if args.save_last and last is not None:
         save_image_rgb(args.save_last, last)
     return 0

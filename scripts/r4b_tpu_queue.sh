@@ -40,10 +40,15 @@ echo "train-small rc=$?"
 timeout 1800 python scripts/bench_train.py base 64
 echo "train-base rc=$?"
 
-echo "=== step 6: pack-2 MICRO probe (standalone pair core, lane-aligned rewrite) $(date +%T) ==="
+echo "=== step 6: pack-2 MICRO probe (standalone pair core only) $(date +%T) ==="
+# (SUPERSEDED by scripts/r5_tpu_queue.sh step 10, which adds the watchdog.)
 # NO outer timeout: killing a client mid-compile is what wedges the tunnel.
 # Self-bounding: a pathological compile gets the server's ~25-min claim kick
 # and the process exits UNAVAILABLE on its own (docs/TPU_NOTES.md round-4 tail).
+# Log-only watchdog (never kills): shows in the log whether the step wedged.
+( sleep 2400 && echo "WATCHDOG $(date +%T): pack2 micro probe still running after 40 min" ) &
+WPID=$!
 python scripts/probe_pack2_compile.py --micro
 echo "micro rc=$?"
+kill "$WPID" 2>/dev/null
 echo "=== queue done $(date +%T) ==="
