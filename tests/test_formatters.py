@@ -108,8 +108,8 @@ def test_make_ref_mirror_full_and_partial(tmp_path, monkeypatch, capsys):
     variants = ["f16", "q4_0", "q4_1", "q5_0", "q5_1", "q8_0"]
     # full data for small, nothing for the other sizes
     data = {v: [_rec(batch=1, ms=1.37, imgs=730.0, w=42.0), _rec()] for v in variants}
-    (tmp_path / "r4_mirror_small_dequant.json").write_text(json.dumps(data))
-    (tmp_path / "r4_mirror_small_fused.json").write_text(
+    (tmp_path / "mirror_small_dequant.json").write_text(json.dumps(data))
+    (tmp_path / "mirror_small_fused.json").write_text(
         json.dumps({q: [_rec(batch=1, ms=2.0, imgs=500.0, w=12.0)] for q in ("q4_0", "q8_0")})
     )
     out = tmp_path / "REF_MIRROR.md"
@@ -129,3 +129,48 @@ def test_make_ref_mirror_full_and_partial(tmp_path, monkeypatch, capsys):
     # absent sizes render as dashes and are reported missing
     assert "| giant | 4384 | 1969 | — | — | — | — | — |" in text
     assert "missing dequant results for ['base', 'large', 'giant']" in text
+
+
+def test_make_ref_mirror_r5_sections(tmp_path, monkeypatch):
+    """Registers / 518px-feature / giant-ladder sections render when their
+    input JSONs exist, and are absent otherwise (partial sweeps stay honest)."""
+    mod = _load_module("make_ref_mirror")
+    (tmp_path / "reg_small.json").write_text(
+        json.dumps({"f16": [_rec(batch=1, ms=1.42, imgs=704.0),
+                            _rec(batch=64, ms=8.0, imgs=8000.0)]})
+    )
+    (tmp_path / "feat518_large.json").write_text(
+        json.dumps({"f16": [_rec(batch=8, ms=72.0, imgs=111.2, peak=2500.0)]})
+    )
+    (tmp_path / "giant_ladder.json").write_text(
+        json.dumps({"f16": [_rec(batch=1, ms=4.2, imgs=238.0),
+                            _rec(batch=64, ms=250.0, imgs=256.0)]})
+    )
+    out = tmp_path / "REF_MIRROR.md"
+    monkeypatch.setattr(
+        sys, "argv", ["make_ref_mirror", "--glob-dir", str(tmp_path), "-o", str(out)],
+    )
+    mod.main()
+    text = out.read_text()
+    # with-registers row: reference 64 ms vs 1.42 -> 45x, b64 throughput bold
+    assert "| small | 297 | 64 | **1.42** | 45× | **8000** |" in text
+    # sizes without reg data render dashes inside the section
+    assert "| base | 436 | 200 | — | — | — | — |" in text
+    # feature-mode row: ms/image at b8
+    assert "| large | **9.00** | **111** | 2500 |" in text
+    # giant ladder rows with the vs-reference column (1969 ms -> 0.5078 img/s)
+    assert "| 1 | 4.2 | 4.20 | **238** | 469× |" in text
+    assert "| 64 | 250.0 | 3.91 | **256** | 504× |" in text
+
+
+def test_make_ref_mirror_r5_sections_absent_when_no_inputs(tmp_path, monkeypatch):
+    mod = _load_module("make_ref_mirror")
+    out = tmp_path / "REF_MIRROR.md"
+    monkeypatch.setattr(
+        sys, "argv", ["make_ref_mirror", "--glob-dir", str(tmp_path), "-o", str(out)],
+    )
+    mod.main()
+    text = out.read_text()
+    assert "with register tokens" not in text
+    assert "518px feature extraction" not in text
+    assert "batch ladder" not in text
