@@ -73,16 +73,19 @@ def main(argv=None) -> int:
     parser.add_argument("--no-display", action="store_true")
     parser.add_argument("--save-last", default=None, help="write the final hconcat frame here")
     parser.add_argument(
-        "--pipeline", action="store_true",
-        help="double-buffer: dispatch frame N+1's upload/compute while frame "
-        "N's result is read back (display lags one frame). Wins on a "
-        "directly-attached TPU where host<->device DMA overlaps compute; "
+        "--pipeline", dest="pipeline", action="store_const", const="on",
+        default="auto",
+        help="force double-buffering: dispatch frame N+1's upload/compute "
+        "while frame N's result is read back (display lags one frame). Wins "
+        "on a directly-attached TPU where host<->device DMA overlaps compute; "
         "measured HARMFUL through a serialized-RPC tunnel attachment (two "
-        "in-flight executions queue behind each other), hence opt-in.",
+        "in-flight executions queue behind each other). The default is "
+        "adaptive: after warmup, both modes are probed for a few frames and "
+        "the faster one drives the rest of the stream.",
     )
     parser.add_argument(
-        "--no-pipeline", dest="pipeline", action="store_false",
-        help=argparse.SUPPRESS,  # back-compat alias for the old default flag
+        "--no-pipeline", dest="pipeline", action="store_const", const="off",
+        help=argparse.SUPPRESS,  # force the synchronous loop
     )
     args = parser.parse_args(argv)
 
@@ -135,22 +138,37 @@ def main(argv=None) -> int:
                 return False
         return True
 
-    if not args.pipeline:
-        for frame in _frame_source(args):
+    source = _frame_source(args)
+
+    def _stop_at(budget):
+        stop = None if budget is None else n + budget
+        if args.frames:
+            stop = args.frames if stop is None else min(stop, args.frames)
+        return stop
+
+    def run_sync(budget=None) -> bool:
+        """Show up to `budget` frames synchronously. Returns True iff the
+        stream can continue (budget reached before quit/source-end/cap)."""
+        stop = _stop_at(budget)
+        for frame in source:
             vis = engine.pca_visualization(frame)
             if not show(frame, vis):
-                break
-            if args.frames and n >= args.frames:
-                break
-    else:
-        # Double-buffered: dispatch frame N (async upload + compute), then
-        # while the device works, grab/decode frame N+1 and materialize frame
-        # N-1's result. Display lags one frame; throughput hides one full
-        # host<->device round-trip per frame (the dominant cost through a
-        # tunnel-attached TPU, docs/TPU_NOTES.md).
+                return False
+            if stop is not None and n >= stop:
+                return not (args.frames and n >= args.frames)
+        return False
+
+    def run_pipelined(budget=None) -> bool:
+        """Double-buffered: dispatch frame N (async upload + compute), then
+        while the device works, grab/decode frame N+1 and materialize frame
+        N-1's result. Display lags one frame; throughput hides one full
+        host<->device round-trip per frame. Drains its in-flight frame before
+        returning, so probe phases are self-contained."""
+        nonlocal quit_requested
+        stop = _stop_at(budget)
         pending: tuple[np.ndarray, object] | None = None
         t_frame = time.perf_counter()
-        for frame in _frame_source(args):
+        for frame in source:
             fut = engine.pca_visualization_async(frame)
             if pending is not None:
                 pframe, pfut = pending
@@ -159,16 +177,55 @@ def main(argv=None) -> int:
                 t_frame = time.perf_counter()
                 if not show(pframe, vis):
                     quit_requested = True
-                    break
+                    return False
             pending = (frame, fut)
-            if args.frames and n >= args.frames - 1:
-                break
-        if pending is not None and not quit_requested and (
-            not args.frames or n < args.frames
-        ):
+            if stop is not None and n >= stop - 1:
+                break  # the drain below delivers frame `stop`
+        if pending is not None:
             pframe, pfut = pending
             engine.last_compute_ms = (time.perf_counter() - t_frame) * 1e3
-            show(pframe, np.asarray(pfut)[0])
+            if not show(pframe, np.asarray(pfut)[0]):
+                quit_requested = True
+                return False
+        if args.frames and n >= args.frames:
+            return False
+        return stop is not None and n >= stop
+
+    if args.pipeline == "off":
+        run_sync()
+    elif args.pipeline == "on":
+        run_pipelined()
+    else:
+        # Adaptive (VERDICT r4 item 6): whether double-buffering wins depends
+        # on the attachment (direct PCIe: yes; serialized-RPC tunnel: no,
+        # measured — docs/TPU_NOTES.md r2). Probe both after warmup and let
+        # the stream ride the winner. The pipelined probe pays its own fill +
+        # drain, a slight bias toward sync — acceptable: sync is the safe
+        # default on ambiguous hardware.
+        PROBE = 6
+        cont = run_sync(WARMUP_FRAMES)
+        sync_fps = pipe_fps = None
+        if cont:
+            t0, n0 = time.perf_counter(), n
+            cont = run_sync(PROBE)
+            if n > n0:
+                sync_fps = (n - n0) / (time.perf_counter() - t0)
+        if cont:
+            t0, n0 = time.perf_counter(), n
+            cont = run_pipelined(PROBE)
+            if n > n0:
+                pipe_fps = (n - n0) / (time.perf_counter() - t0)
+        if cont:
+            use_pipe = (
+                sync_fps is not None and pipe_fps is not None
+                and pipe_fps > sync_fps
+            )
+            print(
+                f"auto-pipeline: sync {sync_fps:.2f} FPS vs double-buffered "
+                f"{pipe_fps:.2f} FPS -> {'double-buffered' if use_pipe else 'sync'}",
+                file=sys.stderr,
+            )
+            run_pipelined() if use_pipe else run_sync()
 
     dt = time.perf_counter() - t_start
     if n:

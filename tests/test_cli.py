@@ -95,6 +95,21 @@ def test_realtime_pipelined_cli(ckpt, tmp_path):
     assert out.exists()
 
 
+def test_realtime_auto_pipeline_cli(ckpt, tmp_path):
+    """Default adaptive mode probes both loop shapes after warmup, prints the
+    decision, and still shows every frame (18 > 3 warmup + 2x6 probes)."""
+    out = tmp_path / "last_auto.jpg"
+    r = _run(
+        f"sys.exit(realtime.main(['-m', {str(ckpt)!r}, '--synthetic', "
+        f"'--frames', '18', '--no-display', '--save-last', {str(out)!r}, "
+        f"'--dtype', 'f32']))"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "auto-pipeline: sync" in r.stderr and "->" in r.stderr
+    assert "frame 18:" in r.stderr and "FPS" in r.stderr
+    assert out.exists()
+
+
 def test_benchmark_torch_script(tmp_path, monkeypatch):
     """Same-host torch baseline (P2 analog) runs end-to-end on a tiny config."""
     import json
