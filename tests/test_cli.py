@@ -170,6 +170,26 @@ def test_benchmark_cli_memory_columns(ckpt):
         assert r["images_per_sec"] > 0
 
 
+def test_benchmark_cli_px_flag(ckpt):
+    """--px feeds a non-224 resolution through the measured forward (the
+    round-5 sweeps use it for 518px feature-mode rows)."""
+    import json
+
+    from dinov2_tpu.cli import benchmark
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = benchmark.main(
+            ["-m", str(ckpt), "--batch-sizes", "1", "--iters", "1",
+             "--dtype", "f32", "--px", "70", "--json"]
+        )
+    assert rc == 0
+    rows = json.loads(buf.getvalue())["f16"]
+    assert rows[0]["images_per_sec"] > 0
+
+
 @pytest.mark.skipif(not ASSETS.exists(), reason="reference assets not mounted")
 def test_inference_cli_mesh_flag(ckpt, tmp_path):
     """--mesh dp,tp drives the engine's explicit mesh from the CLI."""
