@@ -225,124 +225,6 @@ def _head_softmax_pv(q, k, v, scale, bias_col=None, safe=False) -> jnp.ndarray:
     return pv[:, :hd] / l
 
 
-def _pack2() -> bool:
-    """Two-heads-per-contraction attention core (VERDICT r3 item 4): at hd=64
-    the per-head GEMMs contract over only half the 128 MXU lanes (the
-    augmentation fills them with zeros/bias). Packing adjacent head PAIRS —
-    contiguous 128-lane slices of the qkv slab — into one block-diagonal
-    GEMM halves the number of score GEMMs and shrinks the softmax VPU tile
-    from two (t, 384-padded) passes to one (t, 2t->640-padded) pass (-17%
-    physical elements at t=257), at the cost of a 2x-wide PV contraction
-    (extra MACs ride the MXU, which idles ~75% of the attention window).
-    Off by default until measured; DINOV2_TPU_ATT_PACK2=1 enables."""
-    import os
-
-    return os.environ.get("DINOV2_TPU_ATT_PACK2", "0") == "1"
-
-
-_PAD_SHIFT = 30000.0  # log2-domain knockout for padded key columns
-
-
-def _pair_softmax_pv(q2, k2, v2, scale) -> jnp.ndarray:
-    """Two adjacent heads' attention cores in one GEMM set (lane-aligned).
-
-    q2/k2/v2: (t, 2*hd) contiguous pair slices of the slab ([head h | head
-    h+1] along lanes); returns (t, 2*hd) = [out_h | out_h+1]. Math is the
-    3-pass CLS-shift core of _head_softmax_pv, evaluated per head through
-    block structure: K becomes block-diagonal so the scores GEMM emits
-    [s_h | s_h+1] as one tile; V gains a per-head normalizer block so the
-    PV GEMM emits [pv_h | l_h | pv_h+1 | l_h+1]. Unsafe branch only — the
-    rescue path re-runs per-head with the row-max core.
-
-    Alignment (the round-4 parked variant's suspected compile pathology —
-    docs/TPU_NOTES.md): every intermediate keeps 128-multiple LANES and
-    8-multiple concat offsets. Each head's key axis is zero-padded to
-    tph = ceil(t/64)*64, so the packed score tile is (t, 2*tph) with
-    2*tph % 128 == 0; pad columns are knocked out by a third selector row
-    that broadcasts _PAD_SHIFT into the exp2 argument (exp2(0 - 3e4) == 0,
-    no inf*0 in the PV GEMM); the normalizer is a 64-lane ones BLOCK (not a
-    single misaligned column), so the V block is four aligned 64/128-lane
-    pieces and the extra MACs ride the idle MXU."""
-    t, w = q2.shape
-    hd = w // 2
-    if _is_pow2(scale):
-        q2 = q2 * jnp.asarray(scale, q2.dtype)
-        c = _LOG2E
-    else:
-        c = scale * _LOG2E
-    q2 = q2 * jnp.asarray(c, q2.dtype)
-    tph = -(-t // 64) * 64  # per-head padded key count; 2*tph lane-aligned
-    zk = jnp.zeros((tph - t, hd), k2.dtype)
-    zc = jnp.zeros((tph, hd), k2.dtype)
-    top = jnp.concatenate([jnp.concatenate([k2[:, :hd], zk], 0), zc], 1)
-    bot = jnp.concatenate([zc, jnp.concatenate([k2[:, hd:], zk], 0)], 1)
-    kb = jnp.concatenate([top, bot], axis=0)  # (2*tph, 2hd) block-diagonal
-    s = jax.lax.dot_general(
-        q2, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (t, 2*tph) = [s_h | pad | s_h+1 | pad], log2 domain
-    # per-head CLS shifts: one (t, 2) GEMM against the two CLS key rows,
-    # broadcast to the packed tile through a selector matmul whose third row
-    # knocks out the pad columns (all of it rides the MXU; the only
-    # full-tile VPU work stays sub/exp2/astype)
-    kc = jnp.concatenate([top[0:1], bot[0:1]], axis=0)  # (2, 2hd)
-    shift2 = jax.lax.dot_general(
-        q2, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (t, 2)
-    shift3 = jnp.concatenate([shift2, jnp.ones((t, 1), jnp.float32)], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (3, 2 * tph), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (3, 2 * tph), 0)
-    real0 = col < t
-    real1 = (col >= tph) & (col < tph + t)
-    sel = (
-        ((row == 0) & real0).astype(jnp.float32)
-        + ((row == 1) & real1).astype(jnp.float32)
-        + ((row == 2) & ~(real0 | real1)).astype(jnp.float32) * _PAD_SHIFT
-    )
-    shift_bc = jax.lax.dot_general(
-        shift3, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    p = jnp.exp2(s - shift_bc)
-    # V block (2*tph, 256): head h occupies lanes [0:hd), its normalizer
-    # fills the whole [64:128) block (any one of those lanes is l_h); head
-    # h+1 mirrors at +128. Pad key rows are all-zero, so their (already
-    # zeroed) p contributes nothing.
-    onep = jnp.concatenate(
-        [jnp.ones((t, 1), v2.dtype), jnp.zeros((tph - t, 1), v2.dtype)], 0
-    )
-    nblk = onep * jnp.ones((1, 128 - hd), v2.dtype)  # (tph, 64) ones block
-    zv = jnp.zeros((tph - t, hd), v2.dtype)
-    z128 = jnp.zeros((tph, 128), v2.dtype)
-    vt = jnp.concatenate(
-        [jnp.concatenate([v2[:, :hd], zv], 0), nblk, z128], axis=1
-    )
-    vb = jnp.concatenate(
-        [z128, jnp.concatenate([v2[:, hd:], zv], 0), nblk], axis=1
-    )
-    pv = jax.lax.dot_general(
-        p.astype(v2.dtype), jnp.concatenate([vt, vb], axis=0),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )  # (t, 256)
-    # the pair core only runs on the unsafe CLS-shift path (_use_pack2
-    # requires not safe), so both per-head normalizers get the overflow poison
-    return jnp.concatenate(
-        [
-            _finite_div(pv[:, :hd], pv[:, hd : hd + 1]),
-            _finite_div(pv[:, 128 : 128 + hd], pv[:, 128 + hd : 128 + hd + 1]),
-        ],
-        axis=1,
-    )
-
-
-def _use_pack2(num_heads: int, hd: int, safe: bool, t: int) -> bool:
-    return (
-        _pack2()
-        and not safe
-        and num_heads % 2 == 0
-        and hd == 64
-        and _aug_active(t)
-    )
-
-
 _SM3_OVERRIDE: str | None = None
 
 
@@ -422,22 +304,21 @@ def _pick_image_blocks(b: int, cost_fn, budget: int | None = None) -> int:
 def _attention_heads_sliced(slab, t, d, num_heads, scale, safe, write) -> None:
     """Shared head loop of the slab kernels: `slab(lo, hi)` returns the
     (t, hi-lo) lane-slice of one image's (t, 3d) qkv slab (ref or value);
-    each head-range output goes to `write(lo, hi, value)`. Routes head PAIRS
-    through _pair_softmax_pv when pack-2 is enabled."""
+    each head-range output goes to `write(lo, hi, value)`.
+
+    One core per head, always. A two-heads-per-GEMM pair core for hd=64
+    (pack2, VERDICT r3 item 4 / r4 item 3) was built, interpret-verified,
+    lane-aligned — and then refused by Mosaic on chip: the block-diagonal
+    K assembly hits `Not implemented: result/input offset mismatch on
+    non-concat dimension` (tpu.concatenate with vpad offsets; probe
+    receipt in docs/TPU_NOTES.md round 5, step 10). Deleted rather than
+    shipped dead; see git history (round 4) for the implementation."""
     hd = d // num_heads
-    if _use_pack2(num_heads, hd, safe, t):
-        for j in range(0, num_heads, 2):
-            lo = j * hd
-            q2 = slab(lo, lo + 2 * hd)
-            k2 = slab(d + lo, d + lo + 2 * hd)
-            v2 = slab(2 * d + lo, 2 * d + lo + 2 * hd)
-            write(lo, lo + 2 * hd, _pair_softmax_pv(q2, k2, v2, scale))
-    else:
-        for h in range(num_heads):
-            q = slab(h * hd, (h + 1) * hd)
-            k = slab(d + h * hd, d + (h + 1) * hd)
-            v = slab(2 * d + h * hd, 2 * d + (h + 1) * hd)
-            write(h * hd, (h + 1) * hd, _head_softmax_pv(q, k, v, scale, safe=safe))
+    for h in range(num_heads):
+        q = slab(h * hd, (h + 1) * hd)
+        k = slab(d + h * hd, d + (h + 1) * hd)
+        v = slab(2 * d + h * hd, 2 * d + (h + 1) * hd)
+        write(h * hd, (h + 1) * hd, _head_softmax_pv(q, k, v, scale, safe=safe))
 
 
 def _attention_heads(qkv_ref, b, d, num_heads, scale, safe, write) -> None:

@@ -1,5 +1,9 @@
 #!/bin/bash
 # Round-4 continuation queue (session restart after the pack-2 wedge cleared).
+# NOTE (round 5): the pack2 probe steps below reference scripts/probe_pack2_compile.py,
+# which was DELETED after its 2026-08-19 run returned a hard Mosaic capability error
+# (verdict DELETE, docs/TPU_NOTES.md round 5 step 10). This script is a historical
+# session record and is no longer runnable end-to-end.
 # Trimmed from r4_tpu_queue.sh to fit ~1h: judge-facing receipts first, the
 # pack-2 MICRO probe dead last (standalone pair core only — the COMPOSED
 # nb>=1 probe stays out: its orphaned Mosaic compile is what wedged the

@@ -99,34 +99,11 @@ for mode in "" "--pipeline"; do
   echo "realtime $tag rc=$?"; tail -2 "$L/rt_${tag}.log"
 done
 
-echo "=== step 10: pack2 probes (DEAD LAST; no outer timeout) $(date +%T) ==="
-# NO kill: a killed mid-compile client wedges the tunnel. Self-bounding via
-# the server's ~25-min claim kick. Log-only watchdog so the log shows whether
-# the step is wedged (ADVICE r4 #1).
-( sleep 2400 && echo "WATCHDOG $(date +%T): pack2 probe still running after 40 min — likely wedged; do NOT kill, let the server kick it" ) &
-WPID=$!
-python scripts/probe_pack2_compile.py --micro > "$L/pack2_micro.log" 2>&1
-rc=$?
-kill "$WPID" 2>/dev/null
-echo "pack2 micro rc=$rc"; cat "$L/pack2_micro.log"
-if [ $rc -eq 0 ] && grep -q "micro(one pair" "$L/pack2_micro.log"; then
-  echo "--- micro ok: composed nb=1 probe $(date +%T) ---"
-  ( sleep 2400 && echo "WATCHDOG $(date +%T): composed pack2 probe still running after 40 min" ) &
-  WPID=$!
-  python scripts/probe_pack2_compile.py 1 > "$L/pack2_nb1.log" 2>&1
-  rc=$?
-  kill "$WPID" 2>/dev/null
-  echo "pack2 nb1 rc=$rc"; cat "$L/pack2_nb1.log"
-  if [ $rc -eq 0 ] && grep -q "nb=1:" "$L/pack2_nb1.log"; then
-    echo "--- composed compiles: full ViT-S A/B $(date +%T) ---"
-    DINOV2_PROFILE_SIZE=small timeout 3600 python scripts/profile_mfu.py slab > "$L/pack2_off.log" 2>&1
-    echo "vits base rc=$?"; tail -3 "$L/pack2_off.log"
-    DINOV2_PROFILE_SIZE=small DINOV2_TPU_ATT_PACK2=1 timeout 3600 python scripts/profile_mfu.py slab > "$L/pack2_on.log" 2>&1
-    echo "vits pack2 rc=$?"; tail -3 "$L/pack2_on.log"
-  else
-    echo "composed probe FAILED/timed out — pack2 verdict: DELETE (VERDICT item 3)"
-  fi
-else
-  echo "micro probe FAILED — pack2 verdict: DELETE (VERDICT item 3)"
-fi
+echo "=== step 10: pack2 probes $(date +%T) ==="
+# RAN 2026-08-19 02:55 (log /tmp/r5_queue.log): the micro probe FAILED with
+# a hard Mosaic capability error (tpu.concatenate offset mismatch on the
+# block-diagonal K assembly) -> verdict DELETE. probe_pack2_compile.py and
+# the _pair_softmax_pv core were removed; receipt in docs/TPU_NOTES.md
+# round 5 step 10. This step is now a no-op.
+echo "pack2: resolved DELETE 2026-08-19 (see docs/TPU_NOTES.md round 5 step 10)"
 echo "=== queue done $(date +%T) ==="

@@ -228,21 +228,6 @@ def test_slab_normalizer_overflow_poisoned(rng):
     assert np.isnan(np.asarray(_finite_div(num, l_inf))).all()
 
 
-def test_slab_pack2_normalizer_overflow_poisoned(rng, monkeypatch):
-    """Same narrow band through the packed two-head core: both per-head
-    normalizer columns must carry the poison."""
-    from dinov2_tpu.ops import fused_attention as fa
-
-    monkeypatch.setenv("DINOV2_TPU_ATT_PACK2", "1")
-    t, heads, d = 96, 2, 128
-    qkv, scale = _narrow_band_qkv(t, heads, d)
-    assert fa._use_pack2(heads, d // heads, safe=False, t=t)
-    want = np.asarray(fa._slab_reference(qkv, heads, scale))
-    got = np.asarray(fa.slab_attention(qkv, heads, scale, interpret=True))
-    assert np.isfinite(got).all() and abs(got).max() > 1e-4
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-
-
 def test_slab_augmented_overflow_fallback(rng):
     """The 3-pass CLS-shift softmax core (t >= aug gate) overflows exp2 when a
     row's logit spread vs the CLS column exceeds 128 log2 units; the in-kernel
@@ -263,43 +248,6 @@ def test_slab_augmented_overflow_fallback(rng):
     got = np.asarray(slab_attention(qkv, heads, scale, interpret=True))
     assert np.isfinite(got).all()
     # |s0| ~ 500 leaves ~1e-4 log2-domain rounding in the shifted scores
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
-
-
-def test_slab_pack2_matches_vanilla(rng, monkeypatch):
-    """DINOV2_TPU_ATT_PACK2=1 routes adjacent head PAIRS through the
-    block-diagonal two-head core (_pair_softmax_pv); output must equal the
-    per-head reference at hd=64 (the only geometry the route accepts)."""
-    from dinov2_tpu.ops import fused_attention as fa
-
-    monkeypatch.setenv("DINOV2_TPU_ATT_PACK2", "1")
-    b, t, heads, d = 2, 96, 4, 256  # hd=64, even head count
-    assert fa._use_pack2(heads, d // heads, safe=False, t=t)
-    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * d)), jnp.float32)
-    scale = 1.0 / (d // heads) ** 0.5
-    got = np.asarray(fa.slab_attention(qkv, heads, scale, interpret=True))
-    want = np.asarray(fa._slab_reference(qkv, heads, scale))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-    # odd head counts and hd != 64 must refuse the packed route
-    assert not fa._use_pack2(3, 64, safe=False, t=t)
-    assert not fa._use_pack2(4, 32, safe=False, t=t)
-
-
-def test_slab_pack2_overflow_rescue(rng, monkeypatch):
-    """The packed core is unsafe-only: when the CLS-shift overflows, the
-    rescue re-run (per-head row-max core) must still produce finite, correct
-    output with pack2 enabled."""
-    from dinov2_tpu.ops import fused_attention as fa
-
-    monkeypatch.setenv("DINOV2_TPU_ATT_PACK2", "1")
-    b, t, heads, d = 1, 96, 2, 128
-    qkv = np.asarray(rng.standard_normal((b, t, 3 * d)), np.float32)
-    qkv[:, 0, d : 2 * d] *= 500.0 / (d // heads) ** 0.5
-    qkv = jnp.asarray(qkv)
-    scale = 1.0 / (d // heads) ** 0.5
-    got = np.asarray(fa.slab_attention(qkv, heads, scale, interpret=True))
-    want = np.asarray(fa._slab_reference(qkv, heads, scale))
-    assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
