@@ -69,6 +69,23 @@ def _load(path: Path):
         return None
 
 
+def _load_results_line(path: Path):
+    """Parse a queue step log whose last `RESULTS_JSON {...}` line carries the
+    measurements (scripts/bench_longt.py convention)."""
+    if not path.exists():
+        return None
+    payload = None
+    for line in path.read_text().splitlines():
+        if line.startswith("RESULTS_JSON "):
+            payload = line[len("RESULTS_JSON "):]
+    if payload is None:
+        return None
+    try:
+        return json.loads(payload)
+    except json.JSONDecodeError:
+        return None
+
+
 def _row(data, variant, batch):
     if not data or variant not in data:
         return None
@@ -206,6 +223,34 @@ def main():
             out.append(
                 f"| {r['batch']} | {r['ms_per_batch']:.1f} | "
                 f"{r['ms_per_image']:.2f} | **{ips:.0f}** | {ips / 0.5078:.0f}× |")
+
+    longt = _load_results_line(d / "longt.log")
+    if longt:
+        bench_keys = sorted(k for k in longt if k.endswith("-flash"))
+        if bench_keys:
+            out.append("\n## Long-sequence feature extraction (flash attention kernel)\n")
+            out.append(
+                "Beyond the reference's practical ceiling (518px = 1374 tokens,\n"
+                "SURVEY.md §5): resolutions where the (T,T) score matrix cannot\n"
+                "sit in VMEM, so the KV-blocked online-softmax flash kernel is\n"
+                "the only buildable path — the job `ggml_flash_attn_ext`\n"
+                "(dinov2.cpp:499-525) exists for, at 4-6x its max sequence.\n")
+            out.append("| config | tokens | ms/image | img/s | patch-tok/s |")
+            out.append("|:------|------:|------:|------:|------:|")
+            for k in bench_keys:
+                r = longt[k]
+                out.append(
+                    f"| {k[:-len('-flash')]} | {r['tokens']} | {r['ms_per_image']:.1f} "
+                    f"| **{r['img_per_s']:.1f}** | {r['patch_tok_per_s']:,} |")
+            par = next((longt[k] for k in longt if k.startswith("parity-")), None)
+            if par:
+                out.append(
+                    f"\nOn-chip parity vs the vanilla jnp path at the same shape: "
+                    f"patch-feature max|Δ| {par['max_abs_diff']:.3f} "
+                    f"({par['max_rel_to_peak'] * 100:.2f}% of peak magnitude), "
+                    f"CLS max|Δ| {par['cls_max_abs_diff']:.3f} — bf16 "
+                    f"accumulation-order noise (same envelope as the T=1370 "
+                    f"suite rows).")
 
     missing = [s for s in SIZES if dq[s] is None]
     if missing:

@@ -174,3 +174,33 @@ def test_make_ref_mirror_r5_sections_absent_when_no_inputs(tmp_path, monkeypatch
     assert "with register tokens" not in text
     assert "518px feature extraction" not in text
     assert "batch ladder" not in text
+    assert "Long-sequence" not in text
+
+
+def test_make_ref_mirror_longt_section(tmp_path, monkeypatch):
+    """The long-T flash section parses the queue log's last RESULTS_JSON line
+    (bench rows + the parity record) and skips cleanly on a malformed log."""
+    mod = _load_module("make_ref_mirror")
+    results = {
+        "base-1022px-b1-flash": {
+            "tokens": 5330, "ms_per_image": 29.2, "img_per_s": 34.22,
+            "patch_tok_per_s": 182376},
+        "parity-1022px": {
+            "max_abs_diff": 0.07023, "max_rel_to_peak": 0.012838,
+            "cls_max_abs_diff": 0.03579},
+    }
+    (tmp_path / "longt.log").write_text(
+        "noise line\nRESULTS_JSON {\"stale\": true}\n"
+        f"RESULTS_JSON {json.dumps(results)}\n")
+    out = tmp_path / "REF_MIRROR.md"
+    monkeypatch.setattr(
+        sys, "argv", ["make_ref_mirror", "--glob-dir", str(tmp_path), "-o", str(out)],
+    )
+    mod.main()
+    text = out.read_text()
+    assert "| base-1022px-b1 | 5330 | 29.2 | **34.2** | 182,376 |" in text
+    assert "patch-feature max|Δ| 0.070 (1.28% of peak magnitude)" in text
+    # malformed payload -> section skipped, not a crash
+    (tmp_path / "longt.log").write_text("RESULTS_JSON {not json\n")
+    mod.main()
+    assert "Long-sequence" not in out.read_text()
