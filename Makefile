@@ -8,7 +8,7 @@ clean-check:
 	@set -e; WT=$$(mktemp -d /tmp/dinov2-cleancheck.XXXXXX); \
 	git worktree add --detach $$WT HEAD >/dev/null; \
 	trap 'git worktree remove --force $$WT' EXIT; \
-	cd $$WT && python -m pytest tests/ -q
+	cd $$WT && DINOV2_TPU_NO_FIXTURE_SELFHEAL=1 python -m pytest tests/ -q
 
 native:
 	$(MAKE) -C csrc libdinogguf.so

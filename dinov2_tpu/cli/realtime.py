@@ -114,7 +114,6 @@ def main(argv=None) -> int:
 
     last = None
     n = 0
-    quit_requested = False
     t_start = time.perf_counter()
     t_warm = None  # wall clock after the warmup frames (first-frame compile)
     WARMUP_FRAMES = 3
@@ -164,7 +163,6 @@ def main(argv=None) -> int:
         N-1's result. Display lags one frame; throughput hides one full
         host<->device round-trip per frame. Drains its in-flight frame before
         returning, so probe phases are self-contained."""
-        nonlocal quit_requested
         stop = _stop_at(budget)
         pending: tuple[np.ndarray, object] | None = None
         t_frame = time.perf_counter()
@@ -176,7 +174,6 @@ def main(argv=None) -> int:
                 engine.last_compute_ms = (time.perf_counter() - t_frame) * 1e3
                 t_frame = time.perf_counter()
                 if not show(pframe, vis):
-                    quit_requested = True
                     return False
             pending = (frame, fut)
             if stop is not None and n >= stop - 1:
@@ -185,7 +182,6 @@ def main(argv=None) -> int:
             pframe, pfut = pending
             engine.last_compute_ms = (time.perf_counter() - t_frame) * 1e3
             if not show(pframe, np.asarray(pfut)[0]):
-                quit_requested = True
                 return False
         if args.frames and n >= args.frames:
             return False

@@ -92,8 +92,10 @@ cfg = DinoConfig(**{**PRESETS["base"].__dict__, "num_classes": 0})
 write_synthetic_gguf("/tmp/r5/rt_base.gguf", cfg)
 print("wrote /tmp/r5/rt_base.gguf")
 EOF
-for mode in "" "--pipeline"; do
-  tag=$([ -n "$mode" ] && echo pipe || echo sync)
+# --no-pipeline is required for the sync leg: since ff54d45 the CLI default
+# is the ADAPTIVE probe, so a bare invocation would not measure the sync loop
+for mode in "--no-pipeline" "--pipeline"; do
+  tag=$([ "$mode" = "--pipeline" ] && echo pipe || echo sync)
   timeout 2400 python -m dinov2_tpu.cli.realtime -m /tmp/r5/rt_base.gguf \
     --synthetic --no-display --frames 40 $mode > "$L/rt_${tag}.log" 2>&1
   echo "realtime $tag rc=$?"; tail -2 "$L/rt_${tag}.log"

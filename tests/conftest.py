@@ -26,13 +26,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# Self-heal the foreign-writer GGUF fixture: it is committed, but if a clean
-# checkout (or an over-eager `git clean -xdf`) lost it, regenerate it from its
+# Self-heal the foreign-writer GGUF fixture: it is committed, but if an
+# over-eager `git clean -xdf` lost it locally, regenerate it from its
 # deterministic generator so the suite never fails on missing binary state.
+# Under `make clean-check` (DINOV2_TPU_NO_FIXTURE_SELFHEAL=1) the self-heal is
+# DISABLED so the gate keeps its promise: a fixture that was never committed
+# fails the clean-worktree run instead of being silently papered over.
 _FOREIGN = Path(__file__).parent / "fixtures" / "foreign_v3.gguf"
 if not _FOREIGN.exists():
+    import os
     import subprocess
 
+    if os.environ.get("DINOV2_TPU_NO_FIXTURE_SELFHEAL"):
+        raise RuntimeError(
+            f"{_FOREIGN} is missing from this checkout and the fixture "
+            "self-heal is disabled (clean-check mode): the fixture was not "
+            "committed. Run `git add -f tests/fixtures/foreign_v3.gguf`."
+        )
     subprocess.run(
         [sys.executable, str(_FOREIGN.parent / "gen_foreign_gguf.py")], check=True
     )

@@ -204,3 +204,28 @@ def test_make_ref_mirror_longt_section(tmp_path, monkeypatch):
     (tmp_path / "longt.log").write_text("RESULTS_JSON {not json\n")
     mod.main()
     assert "Long-sequence" not in out.read_text()
+
+
+def test_make_ref_mirror_longt_error_records(tmp_path, monkeypatch):
+    """bench_longT stores {"error": ...} for legs that failed on chip; the
+    formatter must render the completed legs and note the failed ones instead
+    of crashing with KeyError and aborting the whole doc regen."""
+    mod = _load_module("make_ref_mirror")
+    results = {
+        "base-1022px-b1-flash": {
+            "tokens": 5330, "ms_per_image": 29.2, "img_per_s": 34.22,
+            "patch_tok_per_s": 182376},
+        "base-1302px-b1-flash": {"error": "RESOURCE_EXHAUSTED: hbm oom"},
+        "parity-1022px": {"error": "tunnel reset mid-run"},
+    }
+    (tmp_path / "longt.log").write_text(f"RESULTS_JSON {json.dumps(results)}\n")
+    out = tmp_path / "REF_MIRROR.md"
+    monkeypatch.setattr(
+        sys, "argv", ["make_ref_mirror", "--glob-dir", str(tmp_path), "-o", str(out)],
+    )
+    mod.main()
+    text = out.read_text()
+    assert "| base-1022px-b1 | 5330 | 29.2 | **34.2** | 182,376 |" in text
+    assert "base-1302px-b1-flash" in text  # failed leg is named, not hidden
+    assert "parity-1022px" in text
+    assert "patch-feature" not in text  # errored parity record is not rendered
