@@ -193,13 +193,21 @@ class DinoEngine:
             for idxs in groups.values()
         ]
 
+    def _target_batch(self, n: int) -> int:
+        """Bucketed batch size: power of two (bounds the jit cache), rounded
+        up to a multiple of the mesh's 'data'-axis size — the batch is sharded
+        only on 'data' (shard_batch replicates on a pure-'model' TP mesh, so
+        rounding to the TOTAL device count there would over-pad for nothing)."""
+        bucket = _bucket(n)
+        if self.mesh is not None:
+            mult = dict(self.mesh.shape).get("data", 1)
+            bucket = -(-max(bucket, mult) // mult) * mult
+        return bucket
+
     def _bucket_pad(self, x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
         """Pad a device batch up to the bucket size (and shard over the mesh)."""
         n = x.shape[0]
-        bucket = _bucket(n)
-        if self.mesh is not None:
-            ndev = self.mesh.devices.size
-            bucket = -(-max(bucket, ndev) // ndev) * ndev
+        bucket = self._target_batch(n)
         if bucket != n:
             pad = jnp.broadcast_to(x[-1:], (bucket - n, *x.shape[1:]))
             x = jnp.concatenate([x, pad], axis=0)
@@ -209,12 +217,8 @@ class DinoEngine:
 
     def _device_batch(self, batch: np.ndarray) -> tuple[jnp.ndarray, int]:
         n = batch.shape[0]
-        bucket = _bucket(n)
-        if self.mesh is not None:
-            ndev = self.mesh.devices.size
-            bucket = max(bucket, ndev)
-            bucket = -(-bucket // ndev) * ndev
-        if bucket != n:
+        bucket = self._target_batch(n)
+        if bucket != n:  # pad on host — the padding never crosses PCIe twice
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:], bucket - n, axis=0)], axis=0
             )
@@ -250,12 +254,24 @@ class DinoEngine:
         if not self.loaded.has_classifier:
             raise ValueError("checkpoint has no classifier head")
         groups = self._group_by_shape(images)
+        if not groups:
+            return np.zeros((0, self.config.num_classes), dtype=np.float32)
 
         def run():
             order, parts = [], []
             for idxs, batch in groups:
                 order.extend(idxs)
-                parts.append(self._jit_classify_pre(jnp.asarray(batch)))
+                # pad the group count to its bucket BEFORE preprocessing, so
+                # per-(H, W) preprocess programs stay log2-bounded instead of
+                # one per exact coalesced group size (the bucket/grid cache
+                # contract); the padded rows are sliced off right here
+                nb = _bucket(batch.shape[0])
+                if nb != batch.shape[0]:
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[-1:], nb - batch.shape[0], axis=0)],
+                        axis=0,
+                    )
+                parts.append(self._jit_classify_pre(jnp.asarray(batch))[: len(idxs)])
             pre = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
             inv = np.argsort(np.asarray(order))
             pre = pre[jnp.asarray(inv)]

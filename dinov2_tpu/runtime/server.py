@@ -31,6 +31,66 @@ from typing import Any
 import numpy as np
 
 
+def sniff_image_dims(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from the container header bytes of PNG / JPEG / GIF /
+    BMP / WebP payloads, WITHOUT decoding. None for unknown containers.
+
+    This is the pre-decode resolution cap: cv2.imdecode allocates the full
+    w*h*3 frame (even with IMREAD_REDUCED_* for PNG — measured ~1 GB peak on
+    a 0.8 MB 16000^2 PNG), so a small decompression bomb would bypass a
+    post-decode check. Lying headers are impossible for these formats — the
+    decoder reads the same fields."""
+    n = len(data)
+    if n >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n":
+        return (
+            int.from_bytes(data[16:20], "big"),
+            int.from_bytes(data[20:24], "big"),
+        )
+    if n >= 4 and data[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF
+        i = 2
+        while i + 9 <= n:
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2
+                continue
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(data[i + 7 : i + 9], "big"),
+                    int.from_bytes(data[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+        return None
+    if n >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(data[6:8], "little"),
+            int.from_bytes(data[8:10], "little"),
+        )
+    if n >= 26 and data[:2] == b"BM":
+        return (
+            abs(int.from_bytes(data[18:22], "little", signed=True)),
+            abs(int.from_bytes(data[22:26], "little", signed=True)),
+        )
+    if n >= 30 and data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        chunk = data[12:16]
+        if chunk == b"VP8X":
+            return (
+                int.from_bytes(data[24:27], "little") + 1,
+                int.from_bytes(data[27:30], "little") + 1,
+            )
+        if chunk == b"VP8 ":
+            return (
+                int.from_bytes(data[26:28], "little") & 0x3FFF,
+                int.from_bytes(data[28:30], "little") & 0x3FFF,
+            )
+        if chunk == b"VP8L" and data[20] == 0x2F:
+            bits = int.from_bytes(data[21:25], "little")
+            return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    return None
+
+
 @dataclass
 class _Pending:
     image: np.ndarray
@@ -70,6 +130,9 @@ class BatchingServer:
         self._stop = threading.Event()
         self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
         self.stats = {"requests": 0, "batches": 0, "images": 0}
+        # requests is bumped from concurrent handler threads; dict-int += is
+        # not atomic under the GIL (read/add/store), so guard it
+        self._stats_lock = threading.Lock()
         # enqueue->completion wall time of the last 1024 successful requests
         # (deque.append is atomic under the GIL; readers snapshot)
         import collections
@@ -125,7 +188,20 @@ class BatchingServer:
                 if mode is None:
                     self._reply(404, {"error": "not found"})
                     return
-                length = int(self.headers.get("Content-Length", 0))
+                with server._stats_lock:
+                    server.stats["requests"] += 1
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self.close_connection = True
+                    self._reply(400, {"error": "invalid Content-Length"})
+                    return
+                if length < 0:
+                    # rfile.read(-N) would block until client EOF — a handler
+                    # thread hang, not a parse error
+                    self.close_connection = True
+                    self._reply(400, {"error": "invalid Content-Length"})
+                    return
                 if length > server.max_body_bytes:
                     self.close_connection = True  # don't drain the huge body
                     self._reply(413, {
@@ -134,6 +210,15 @@ class BatchingServer:
                     })
                     return
                 data = self.rfile.read(length)
+                dims = sniff_image_dims(data)
+                if dims is not None and max(dims) > server.max_side:
+                    # pre-decode: cv2.imdecode would allocate the full frame
+                    self._reply(400, {
+                        "error": f"image {dims[0]}x{dims[1]} exceeds the "
+                        f"{server.max_side}px side limit (each new size "
+                        f"compiles its own program)"
+                    })
+                    return
                 try:
                     import cv2
 
@@ -157,8 +242,10 @@ class BatchingServer:
                 if not pending.event.wait(timeout=server.request_timeout_s):
                     # Batcher thread dead/wedged — never reply 200 with null.
                     self._reply(504, {"error": "inference timed out"})
-                elif pending.error:
-                    self._reply(500, {"error": pending.error})
+                elif pending.error is not None:
+                    # `is not None`, not truthiness: an exception whose str()
+                    # is empty must still be a 500, never a 200 with null
+                    self._reply(500, {"error": pending.error or "inference failed"})
                 else:
                     server._latencies.append(time.perf_counter() - pending.t_enq)
                     if isinstance(pending.result, bytes):
@@ -257,6 +344,7 @@ class BatchingServer:
     def stop(self):
         self._stop.set()
         self._http.shutdown()
+        self._http.server_close()  # release the bound listening socket
 
     def serve_forever(self):
         self._batcher.start()

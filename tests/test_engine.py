@@ -202,3 +202,61 @@ def test_registers_and_swiglu_synthetic(tmp_path, rng):
     gh, gw = feats["grid"]
     # registers are dropped from feature-mode patch tokens (quirk Q5)
     assert feats["patch_tokens"].shape == (1, gh * gw, 64)
+
+
+def test_target_batch_rounds_to_data_axis_not_device_count():
+    """The batch is sharded only on the mesh's 'data' axis (shard_batch
+    replicates on a pure-'model' TP mesh), so bucket rounding must use the
+    data-axis size: rounding to the TOTAL device count over-padded 2-8x on
+    TP and mixed meshes (e.g. a 2-image request padded to 8 on data=2 x
+    model=4)."""
+    from dinov2_tpu.parallel.mesh import make_mesh
+
+    class _Stub:
+        pass
+
+    stub = _Stub()
+    stub.mesh = None
+    assert DinoEngine._target_batch(stub, 3) == 4  # plain bucket, no mesh
+
+    stub.mesh = make_mesh({"data": 2, "model": 4})
+    assert DinoEngine._target_batch(stub, 1) == 2  # data axis, not 8 devices
+    assert DinoEngine._target_batch(stub, 2) == 2
+    assert DinoEngine._target_batch(stub, 3) == 4
+
+    stub.mesh = make_mesh({"model": 8})  # pure TP: batch replicated
+    assert DinoEngine._target_batch(stub, 1) == 1
+    assert DinoEngine._target_batch(stub, 3) == 4
+
+    stub.mesh = make_mesh({"data": 8})
+    assert DinoEngine._target_batch(stub, 3) == 8
+
+
+def test_classify_probs_empty_list(tiny_gguf):
+    """Empty input returns an empty (0, num_classes) array like the other
+    batch APIs (extract_features_mixed, pca_visualizations), instead of
+    IndexError."""
+    engine = DinoEngine(tiny_gguf, dtype=jnp.float32)
+    out = engine.classify_probs([])
+    assert out.shape == (0, TINY.num_classes)
+    assert engine.classify([]) == []
+
+
+def test_classify_preprocess_compiles_per_bucket_not_per_count(tiny_gguf, rng):
+    """Group counts are padded to their power-of-two bucket BEFORE the jitted
+    preprocess, so per-(H, W) preprocess programs stay log2-bounded across
+    coalesced batch sizes (the server coalesces 1..max_batch same-size
+    images; one program per exact count would be an unbounded compile-stall
+    source on the first request of every new count)."""
+    engine = DinoEngine(tiny_gguf, dtype=jnp.float32)
+    imgs = rng.integers(0, 256, (7, 70, 70, 3), dtype=np.uint8)
+    # the jit cache is shared across engines of one process: measure growth
+    base = engine._jit_classify_pre._cache_size()
+    for n in (3, 5, 6, 7):  # buckets to 4, then 8, 8, 8
+        engine.classify_probs(list(imgs[:n]))
+    grown = engine._jit_classify_pre._cache_size() - base
+    assert grown <= 2, grown  # buckets {4, 8}, not one program per count
+    # correctness across the padded path: order and values survive
+    p5 = engine.classify_probs(list(imgs[:5]))
+    p5_again = np.stack([engine.classify_probs([imgs[i]])[0] for i in range(5)])
+    np.testing.assert_allclose(p5, p5_again, atol=2e-5)

@@ -291,3 +291,108 @@ def test_healthz_latency_percentiles(server, rng):
     # direct-unit check of the percentile picker
     srv_stats = server.latency_stats()
     assert srv_stats["count"] == lat["count"] or srv_stats["count"] >= lat["count"]
+
+
+def test_sniff_image_dims_headers_only():
+    """Pre-decode resolution cap: dimensions come from the container header
+    bytes for every format cv2 commonly decodes — a decompression bomb must
+    be rejected before imdecode allocates the full w*h*3 frame."""
+    from dinov2_tpu.runtime.server import sniff_image_dims
+
+    img = np.zeros((48, 96, 3), np.uint8)
+    for ext in (".png", ".jpg", ".bmp", ".webp"):
+        ok, buf = cv2.imencode(ext, img)
+        assert ok, ext
+        assert sniff_image_dims(buf.tobytes()) == (96, 48), ext
+    # GIF (cv2 can't encode GIF; hand-build the header)
+    gif = b"GIF89a" + (96).to_bytes(2, "little") + (48).to_bytes(2, "little")
+    assert sniff_image_dims(gif + b"\0" * 16) == (96, 48)
+    # unknown container -> None (falls through to the post-decode check)
+    assert sniff_image_dims(b"\0" * 64) is None
+    assert sniff_image_dims(b"") is None
+
+
+def test_png_bomb_rejected_before_decode(tmp_path, rng):
+    """A small-bodied PNG with a huge canvas must bounce 400 from the header
+    sniff — measured: cv2.imdecode of a 0.8 MB constant 16000^2 PNG peaks at
+    ~1.6 GB RSS, so the post-decode check alone is a memory-DoS hole."""
+    import urllib.error
+
+    path = tmp_path / "mbomb.gguf"
+    write_synthetic_gguf(path, TINY, seed=3)
+    engine = DinoEngine(path, dtype=jnp.float32)
+    srv = BatchingServer(engine, port=0, max_side=200)
+    # 2000x2000 constant PNG: tiny body, 60x the side cap
+    ok, buf = cv2.imencode(".png", np.zeros((2000, 2000, 3), np.uint8))
+    assert ok and len(buf) < srv.max_body_bytes
+
+    calls = []
+    orig = cv2.imdecode
+    cv2.imdecode = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    srv.start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/classify"
+        req = urllib.request.Request(url, data=buf.tobytes(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 400
+        assert "side limit" in json.loads(exc.value.read())["error"]
+        assert not calls, "imdecode ran — the bomb was rejected too late"
+    finally:
+        cv2.imdecode = orig
+        srv.stop()
+
+
+def test_invalid_content_length_400(server):
+    """Negative Content-Length would make rfile.read(-N) block until client
+    EOF (handler-thread hang); non-numeric used to crash the handler with no
+    response. Both must be clean 400s."""
+    import http.client
+
+    for bad in ("-1", "abc"):
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        try:
+            conn.putrequest("POST", "/classify")
+            conn.putheader("Content-Length", bad)
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400, bad
+            assert "Content-Length" in json.loads(resp.read())["error"]
+        finally:
+            conn.close()
+
+
+def test_requests_counter_and_empty_error_500(tmp_path, rng):
+    """/healthz requests counter counts every inference POST (it was
+    initialized-but-never-incremented); an engine exception whose str() is
+    empty must still produce a 500, never 200 with body null."""
+    import urllib.error
+
+    path = tmp_path / "mcnt.gguf"
+    write_synthetic_gguf(path, TINY, seed=3)
+    engine = DinoEngine(path, dtype=jnp.float32)
+    srv = BatchingServer(engine, port=0)
+    srv.start()
+    try:
+        _post(srv.port, "/classify", _jpg(rng, 70, 70))
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=60
+        ) as resp:
+            assert json.loads(resp.read())["stats"]["requests"] == 1
+
+        def boom(*a, **k):
+            raise ValueError()  # str(e) == ""
+
+        srv.engine.classify = boom
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/classify",
+            data=_jpg(rng, 70, 70), method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 500
+        assert json.loads(exc.value.read())["error"] == "inference failed"
+    finally:
+        srv.stop()
+    # stop() must release the listening socket, not just the serve loop
+    assert srv._http.socket.fileno() == -1
