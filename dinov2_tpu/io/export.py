@@ -61,14 +61,17 @@ def export_gguf(
         _np(params["patch_embed"]["bias"]).reshape(1, d, 1, 1),
     )
 
-    layers = params["layers"]
+    # fetch each stacked layer tensor to host ONCE — _np inside the per-layer
+    # loop would device_get the full stack (e.g. ViT-g qkv: ~566 MB) once per
+    # layer index, an O(n_layers^2) host-transfer bill
+    layers = jax.tree_util.tree_map(_np, params["layers"])
     n_layers = config.num_hidden_layers
 
     def layer_leaf(keys, i):
         node = layers
         for kk in keys:
             node = node[kk]
-        return _np(node)[i]
+        return node[i]
 
     for i in range(n_layers):
         base = f"encoder.layer.{i}"

@@ -245,6 +245,12 @@ class GGUFReader:
             shape = tuple(reversed(ne)) if ne else (1,)
             infos.append((name, shape, ggml_type, offset))
 
+        if len({i[0] for i in infos}) != len(infos):
+            # ggml's gguf_init_from_file rejects duplicated tensor names;
+            # silently last-winning would be silent data loss
+            dupes = sorted({n for n in (i[0] for i in infos) if
+                            [i[0] for i in infos].count(n) > 1})
+            raise ValueError(f"{path}: duplicated tensor names {dupes}")
         data_start = _align(cur.pos, self.alignment)
         self.tensors: dict[str, GGUFTensor] = {}
         for name, shape, ggml_type, offset in infos:
@@ -285,7 +291,32 @@ def _value_type_for(value: Any) -> GGUFValueType:
         return GGUFValueType.FLOAT32
     if isinstance(value, int):
         return GGUFValueType.UINT32 if 0 <= value < 2**32 else GGUFValueType.INT64
+    if isinstance(value, (list, tuple)):
+        # nested arrays are legal GGUF (elem type ARRAY); inner element types
+        # are re-inferred per element when written
+        return GGUFValueType.ARRAY
     raise TypeError(f"cannot infer GGUF value type for {type(value)}")
+
+
+def _array_elem_type(values) -> GGUFValueType:
+    """Element type for an ARRAY KV, inferred from ALL elements — inferring
+    from values[0] alone mislabels mixed-sign int arrays (e.g. [0, -1] would
+    infer UINT32 and die in struct.pack on the -1)."""
+    types = {_value_type_for(v) for v in values}
+    if types <= {GGUFValueType.UINT32, GGUFValueType.INT64}:
+        if any(isinstance(v, int) and v < 0 for v in values):
+            return (
+                GGUFValueType.INT32
+                if all(-(2**31) <= v < 2**31 for v in values)
+                else GGUFValueType.INT64
+            )
+        return (
+            GGUFValueType.UINT32 if types == {GGUFValueType.UINT32}
+            else GGUFValueType.INT64
+        )
+    if len(types) != 1:
+        raise TypeError(f"cannot infer one GGUF element type for {sorted(types)}")
+    return types.pop()
 
 
 @dataclass
@@ -348,6 +379,10 @@ class GGUFWriter:
         For quantized blocks pass raw uint8 `data` plus explicit `ggml_type` and the
         logical element `shape`.
         """
+        if any(t.name == name for t in self._tensors):
+            # ggml's loader rejects files with duplicated tensor names — fail
+            # at write time, not when the reference C++ refuses the artifact
+            raise ValueError(f"duplicate tensor name {name!r}")
         if ggml_type is None:
             np_to_ggml = {
                 np.dtype(np.float32): GGMLType.F32,
@@ -386,7 +421,7 @@ class GGUFWriter:
             if elem_type is None:
                 if not value:
                     raise ValueError("cannot write empty untyped array")
-                elem_type = _value_type_for(value[0])
+                elem_type = _array_elem_type(value)
             out = struct.pack("<I", elem_type) + struct.pack("<Q", len(value))
             return out + b"".join(self._pack_value(elem_type, v) for v in value)
         return struct.pack(_SCALAR_FMT[vtype], value)
@@ -446,15 +481,28 @@ def write_gguf(
     kv: Mapping[str, Any],
     tensors: Iterable[GGUFTensor] | Mapping[str, np.ndarray],
     arch: str = "dinov2",
+    kv_types: Mapping[str, GGUFValueType] | None = None,
+    kv_array_types: Mapping[str, GGUFValueType] | None = None,
 ) -> None:
-    w = GGUFWriter(path, arch=arch)
+    """Convenience writer. `arch` is a default only: a `general.architecture`
+    key present in `kv` wins, so read-modify-write round-trips preserve the
+    source file's architecture instead of silently relabeling it. Pass the
+    reader's `kv_types` / `kv_array_types` to round-trip on-disk value types
+    byte-identically instead of re-inferring them (INT32 arrays would
+    otherwise come back UINT32)."""
+    kv_types = kv_types or {}
+    kv_array_types = kv_array_types or {}
+    w = GGUFWriter(path, arch=str(kv.get("general.architecture", arch)))
     for k, v in kv.items():
         if k == "general.architecture":
             continue
-        w.add_kv(k, v)
+        w.add_kv(k, v, kv_types.get(k), kv_array_types.get(k))
     if isinstance(tensors, Mapping):
         for name, arr in tensors.items():
-            w.add_tensor(name, arr)
+            if isinstance(arr, GGUFTensor):  # read_gguf round-trip
+                w.add_tensor(name, arr.data, arr.ggml_type, arr.shape)
+            else:
+                w.add_tensor(name, arr)
     else:
         for t in tensors:
             w.add_tensor(t.name, t.data, t.ggml_type, t.shape)

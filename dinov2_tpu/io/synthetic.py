@@ -21,12 +21,6 @@ from dinov2_tpu.io.gguf import GGUFWriter
 from dinov2_tpu.models.config import DinoConfig
 
 
-def _swiglu_hidden(hidden_size: int) -> int:
-    # HF Dinov2SwiGLUFFN sizing: 2/3 * 4 * hidden, rounded up to a multiple of 8
-    h = int(hidden_size * 4 * 2 / 3)
-    return -(-h // 8) * 8
-
-
 def write_synthetic_gguf(
     path: str | Path,
     config: DinoConfig,
@@ -79,7 +73,7 @@ def write_synthetic_gguf(
         t32(f"{base}.norm2.weight", d, value=1.0)
         t32(f"{base}.norm2.bias", d, value=0.0)
         if config.swiglu:
-            sh = config.swiglu_hidden or _swiglu_hidden(d)
+            sh = config.swiglu_hidden_dim
             t16(f"{base}.mlp.weights_in.weight", 2 * sh, d)
             t32(f"{base}.mlp.weights_in.bias", 2 * sh)
             t16(f"{base}.mlp.weights_out.weight", d, sh)

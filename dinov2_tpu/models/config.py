@@ -42,6 +42,15 @@ class DinoConfig:
         return self.hidden_size // self.num_attention_heads
 
     @property
+    def swiglu_hidden_dim(self) -> int:
+        """SwiGLU FFN hidden size: the explicit KV/weight-inferred value if
+        present, else the HF Dinov2SwiGLUFFN sizing rule (2/3 * 4 * hidden,
+        rounded up to a multiple of 8) — the ONE home of that formula."""
+        if self.swiglu_hidden:
+            return self.swiglu_hidden
+        return -(-int(self.hidden_size * 4 * 2 / 3) // 8) * 8
+
+    @property
     def n_img_embd(self) -> int:
         # dino_hparams::n_img_embd, /root/reference/dinov2.cpp:51-53
         return self.img_size // self.patch_size

@@ -254,7 +254,7 @@ def init_params(
     d = config.hidden_size
     p = config.patch_size
     inter = int(d * config.mlp_ratio)
-    sh = config.swiglu_hidden or (-(-int(d * 4 * 2 / 3) // 8) * 8)
+    sh = config.swiglu_hidden_dim
     n_pos = config.num_model_patches + 1
 
     def w(*shape, f32=False):

@@ -64,6 +64,26 @@ def _pack_nibbles(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.uint8)
 
 
+def _affine_quant(blocks: np.ndarray, levels: int):
+    """Shared q4_1/q5_1 affine rounding: q = trunc((x - min) / d + 0.5),
+    clamped to `levels` (ggml's quantize_row_q{4,5}_1_ref semantics)."""
+    mn = blocks.min(axis=1)
+    mx = blocks.max(axis=1)
+    d = (mx - mn) / float(levels)
+    q = np.minimum(
+        levels,
+        np.trunc((blocks - mn[:, None]) * _safe_inv(d)[:, None] + 0.5).astype(np.int32),
+    )
+    return d, mn, q
+
+
+def _pack_qh(q: np.ndarray) -> np.ndarray:
+    """Shared q5_0/q5_1 5th-bit plane: element j's bit 4 lands at qh bit j."""
+    bits = (q >> 4) & 1  # (n, 32)
+    shifts = np.arange(QK, dtype=np.uint32)
+    return (bits.astype(np.uint64) << shifts).sum(axis=1).astype(np.uint32)
+
+
 def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
     """Quantize a float array to raw block bytes (uint8, flat)."""
     from dinov2_tpu.utils import native
@@ -83,12 +103,7 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
         out["d"] = d.astype(np.float16)
         out["qs"] = _pack_nibbles(q[:, :16], q[:, 16:])
     elif ggml_type == GGMLType.Q4_1:
-        mn = blocks.min(axis=1)
-        mx = blocks.max(axis=1)
-        d = (mx - mn) / 15.0
-        q = np.minimum(
-            15, np.trunc((blocks - mn[:, None]) * _safe_inv(d)[:, None] + 0.5).astype(np.int32)
-        )
+        d, mn, q = _affine_quant(blocks, 15)
         out["d"] = d.astype(np.float16)
         out["m"] = mn.astype(np.float16)
         out["qs"] = _pack_nibbles(q[:, :16], q[:, 16:])
@@ -98,22 +113,13 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
         q = np.minimum(31, np.trunc(blocks * _safe_inv(d)[:, None] + 16.5).astype(np.int32))
         out["d"] = d.astype(np.float16)
         out["qs"] = _pack_nibbles(q[:, :16], q[:, 16:])
-        bits = (q >> 4) & 1  # (n, 32): the 5th bit of each element
-        shifts = np.arange(QK, dtype=np.uint32)  # element j -> qh bit j
-        out["qh"] = (bits.astype(np.uint64) << shifts).sum(axis=1).astype(np.uint32)
+        out["qh"] = _pack_qh(q)
     elif ggml_type == GGMLType.Q5_1:
-        mn = blocks.min(axis=1)
-        mx = blocks.max(axis=1)
-        d = (mx - mn) / 31.0
-        q = np.minimum(
-            31, np.trunc((blocks - mn[:, None]) * _safe_inv(d)[:, None] + 0.5).astype(np.int32)
-        )
+        d, mn, q = _affine_quant(blocks, 31)
         out["d"] = d.astype(np.float16)
         out["m"] = mn.astype(np.float16)
         out["qs"] = _pack_nibbles(q[:, :16], q[:, 16:])
-        bits = (q >> 4) & 1
-        shifts = np.arange(QK, dtype=np.uint32)
-        out["qh"] = (bits.astype(np.uint64) << shifts).sum(axis=1).astype(np.uint32)
+        out["qh"] = _pack_qh(q)
     elif ggml_type == GGMLType.Q8_0:
         amax = np.abs(blocks).max(axis=1)
         d = amax / 127.0
@@ -150,6 +156,9 @@ def dequantize(
         if native.available():
             return native.fp16_to_fp32(raw.view("<f2")).reshape(shape)
         return raw.view("<f2").reshape(shape).astype(np.float32)
+    if ggml_type == GGMLType.BF16:
+        u32 = raw.view("<u2").astype(np.uint32) << 16
+        return u32.view(np.float32).reshape(shape)
 
     if native.available():
         out = native.dequantize(raw, int(ggml_type), tuple(shape))
@@ -233,6 +242,12 @@ def unpack_codes(
 
 def validate_quantized(raw: np.ndarray, ggml_type: GGMLType) -> bool:
     """Equivalent of ggml_validate_row_data: scales/mins must be finite fp16."""
+    from dinov2_tpu.utils import native
+
+    if native.available():
+        out = native.validate(raw, int(ggml_type))
+        if out is not None:
+            return out
     blocks = raw.view(np.uint8).view(_BLOCK_DTYPES[ggml_type])
     ok = np.isfinite(blocks["d"].astype(np.float32)).all()
     if "m" in blocks.dtype.names:

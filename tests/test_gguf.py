@@ -250,3 +250,90 @@ def test_array_elem_type_preserved_by_quantize(tmp_path, rng):
     assert r.kv_array_types["ids"] == GGUFValueType.INT32
     assert r.tensors["a.weight"].ggml_type == GGMLType.Q8_0
     r.close()
+
+
+def test_write_gguf_roundtrip_preserves_arch_and_types(tmp_path, rng):
+    """The convenience read-modify-write API must not relabel the model or
+    re-infer on-disk value types: general.architecture in `kv` beats the
+    `arch` default, and passing the reader's kv_types/kv_array_types
+    round-trips INT32 scalars/arrays that inference would call UINT32."""
+    from dinov2_tpu.io.gguf import read_gguf, write_gguf
+
+    src = tmp_path / "src.gguf"
+    w = GGUFWriter(src, arch="clip")
+    w.add_kv("offset", -7, GGUFValueType.INT32)
+    w.add_kv("steps", [-1, 0, 2], GGUFValueType.ARRAY, GGUFValueType.INT32)
+    w.add_tensor("t", rng.standard_normal((4, 8)).astype(np.float32))
+    w.write()
+
+    kv, tensors = read_gguf(src)
+    r = GGUFReader(src)
+    dst = tmp_path / "dst.gguf"
+    write_gguf(dst, kv, tensors, kv_types=r.kv_types,
+               kv_array_types=r.kv_array_types)
+    r.close()
+
+    r2 = GGUFReader(dst)
+    assert r2.kv["general.architecture"] == "clip"  # not relabeled "dinov2"
+    assert r2.kv_types["offset"] == GGUFValueType.INT32
+    assert r2.kv_array_types["steps"] == GGUFValueType.INT32
+    assert r2.kv["steps"] == [-1, 0, 2]
+    r2.close()
+
+
+def test_mixed_sign_array_inference(tmp_path):
+    """Untyped ARRAY KVs infer their element type from ALL elements: [0, -1]
+    used to infer UINT32 from the first element and die in struct.pack."""
+    path = tmp_path / "m.gguf"
+    w = GGUFWriter(path)
+    w.add_kv("mixed", [0, -1])
+    w.add_kv("big", [0, 2**40])
+    w.write()
+    r = GGUFReader(path)
+    assert r.kv["mixed"] == [0, -1]
+    assert r.kv_array_types["mixed"] == GGUFValueType.INT32
+    assert r.kv["big"] == [0, 2**40]
+    assert r.kv_array_types["big"] == GGUFValueType.INT64
+    r.close()
+
+
+def test_duplicate_tensor_names_rejected(tmp_path, rng):
+    """ggml's loader rejects duplicated tensor names; the writer must fail at
+    write time (not produce a file the reference C++ refuses), and the reader
+    must raise instead of silently last-winning."""
+    w = GGUFWriter(tmp_path / "d.gguf")
+    w.add_tensor("x", np.ones((2, 32), np.float32))
+    with pytest.raises(ValueError, match="duplicate"):
+        w.add_tensor("x", np.zeros((2, 32), np.float32))
+
+    # hand-build a duplicated file and check the reader refuses it
+    def pstr(v):
+        b = v.encode()
+        return struct.pack("<Q", len(b)) + b
+
+    tinfo = b"".join(
+        pstr("x") + struct.pack("<I", 1) + struct.pack("<Q", 32)
+        + struct.pack("<I", int(GGMLType.F32)) + struct.pack("<Q", off)
+        for off in (0, 128)
+    )
+    head = struct.pack("<4sIQQ", b"GGUF", 3, 2, 0) + tinfo
+    pad = (-len(head)) % 32
+    payload = head + b"\0" * pad + b"\0" * 256
+    p = tmp_path / "dup.gguf"
+    p.write_bytes(payload)
+    with pytest.raises(ValueError, match="duplicated tensor names"):
+        GGUFReader(p)
+
+
+def test_nested_array_kv_writable(tmp_path):
+    """Arrays of arrays are legal GGUF; writing one must recurse (it used to
+    raise 'cannot infer GGUF value type for list') and read back flattened to
+    nested Python lists."""
+    path = tmp_path / "n.gguf"
+    w = GGUFWriter(path)
+    w.add_kv("nested", [[1, 2], [3, 4, 5]])
+    w.write()
+    r = GGUFReader(path)
+    assert r.kv["nested"] == [[1, 2], [3, 4, 5]]
+    assert r.kv_array_types["nested"] == GGUFValueType.ARRAY
+    r.close()

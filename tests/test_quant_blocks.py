@@ -115,3 +115,37 @@ def test_zero_block():
     for t in ALL_TYPES:
         deq = dequantize(quantize(x, t), t, x.shape)
         np.testing.assert_array_equal(deq, x)
+
+
+def test_dequantize_bf16(rng):
+    """BF16 is a type the reader supports (GGUFTensor.as_numpy decodes it);
+    the public quant.dequantize must too, not KeyError."""
+    x = rng.standard_normal((4, 32)).astype(np.float32)
+    bf = ((x.view(np.uint32) + 0x8000) >> 16).astype(np.uint16)  # rne-ish
+    out = dequantize(bf.view(np.uint8).ravel(), GGMLType.BF16, x.shape)
+    assert out.dtype == np.float32 and out.shape == x.shape
+    np.testing.assert_allclose(out, x, atol=0.05, rtol=0.02)
+
+
+def test_validate_routes_native(rng, monkeypatch):
+    """validate_quantized follows the module's native-when-available
+    convention like quantize/dequantize/unpack_codes (it used to always take
+    the numpy scan), and both paths agree on good and corrupted blocks."""
+    from dinov2_tpu.utils import native
+
+    x = rng.standard_normal((2, 64)).astype(np.float32)
+    raw = quantize(x, GGMLType.Q4_1)
+    bad = raw.copy()
+    bad[0:2] = np.frombuffer(np.float16(np.inf).tobytes(), np.uint8)  # d=inf
+
+    results = {}
+    for forced in (False, True):
+        if forced and not native.available():
+            break
+        monkeypatch.setattr(native, "available", lambda f=forced: f)
+        results[forced] = (
+            validate_quantized(raw, GGMLType.Q4_1),
+            validate_quantized(bad, GGMLType.Q4_1),
+        )
+    for good_ok, bad_ok in results.values():
+        assert good_ok is True and bad_ok is False
