@@ -205,7 +205,17 @@ class GGUFReader:
     def __init__(self, path: str | Path):
         self.path = Path(path)
         self._file = open(self.path, "rb")
-        self._mmap = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            self._mmap = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+            self._parse(path)
+        except Exception:
+            # a parse error (bad magic, duplicated tensor names, truncated
+            # header, ...) must not leak the fd/map of the half-built reader —
+            # a long-lived process scanning untrusted files would exhaust fds
+            self.close() if hasattr(self, "_mmap") else self._file.close()
+            raise
+
+    def _parse(self, path):
         cur = _Cursor(self._mmap)
 
         if bytes(cur.take(4)) != GGUF_MAGIC:

@@ -193,6 +193,16 @@ class DinoEngine:
             for idxs in groups.values()
         ]
 
+    @staticmethod
+    def _pad_rows(batch: np.ndarray, target: int) -> np.ndarray:
+        """Pad a host batch to `target` rows by repeating the last row (the
+        one home of this edge-pad; device-side padding lives in _bucket_pad)."""
+        if target == batch.shape[0]:
+            return batch
+        return np.concatenate(
+            [batch, np.repeat(batch[-1:], target - batch.shape[0], axis=0)], axis=0
+        )
+
     def _target_batch(self, n: int) -> int:
         """Bucketed batch size: power of two (bounds the jit cache), rounded
         up to a multiple of the mesh's 'data'-axis size — the batch is sharded
@@ -217,12 +227,8 @@ class DinoEngine:
 
     def _device_batch(self, batch: np.ndarray) -> tuple[jnp.ndarray, int]:
         n = batch.shape[0]
-        bucket = self._target_batch(n)
-        if bucket != n:  # pad on host — the padding never crosses PCIe twice
-            batch = np.concatenate(
-                [batch, np.repeat(batch[-1:], bucket - n, axis=0)], axis=0
-            )
-        x = jnp.asarray(batch)
+        # pad on host — the padding never crosses PCIe twice
+        x = jnp.asarray(self._pad_rows(batch, self._target_batch(n)))
         if self.mesh is not None:
             x = shard_batch(x, self.mesh)
         return x, n
@@ -258,6 +264,19 @@ class DinoEngine:
             return np.zeros((0, self.config.num_classes), dtype=np.float32)
 
         def run():
+            if len(groups) == 1:
+                # hot serving path: one size group arrives already in order, so
+                # pad straight to the forward's target batch before the jitted
+                # preprocess and feed it through — no slice-then-re-pad round
+                # trip on device (the target set is still log2-bounded)
+                idxs, batch = groups[0]
+                n = len(idxs)
+                pre = self._jit_classify_pre(
+                    jnp.asarray(self._pad_rows(batch, self._target_batch(n)))
+                )
+                if self.mesh is not None:
+                    pre = shard_batch(pre, self.mesh)
+                return self._run_forward(pre, classify=True), n
             order, parts = [], []
             for idxs, batch in groups:
                 order.extend(idxs)
@@ -266,13 +285,12 @@ class DinoEngine:
                 # one per exact coalesced group size (the bucket/grid cache
                 # contract); the padded rows are sliced off right here
                 nb = _bucket(batch.shape[0])
-                if nb != batch.shape[0]:
-                    batch = np.concatenate(
-                        [batch, np.repeat(batch[-1:], nb - batch.shape[0], axis=0)],
-                        axis=0,
-                    )
-                parts.append(self._jit_classify_pre(jnp.asarray(batch))[: len(idxs)])
-            pre = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+                parts.append(
+                    self._jit_classify_pre(jnp.asarray(self._pad_rows(batch, nb)))[
+                        : len(idxs)
+                    ]
+                )
+            pre = jnp.concatenate(parts, axis=0)
             inv = np.argsort(np.asarray(order))
             pre = pre[jnp.asarray(inv)]
             pre, n = self._bucket_pad(pre)

@@ -48,20 +48,31 @@ def sniff_image_dims(data: bytes) -> tuple[int, int] | None:
         )
     if n >= 4 and data[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF
         i = 2
-        while i + 9 <= n:
+        while i + 1 < n:
             if data[i] != 0xFF:
                 return None
-            marker = data[i + 1]
+            # ISO 10918-1 B.1.1.2: any number of 0xFF fill bytes may precede
+            # the marker code and decoders skip them — a bomb with one fill
+            # byte would otherwise sail past this sniff straight to imdecode
+            while i < n and data[i] == 0xFF:
+                i += 1
+            if i >= n:
+                return None
+            marker = data[i]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
-                i += 2
+                i += 1
                 continue
-            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            if i + 2 >= n:
+                return None
+            seg_len = int.from_bytes(data[i + 1 : i + 3], "big")
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 8 > n:
+                    return None
                 return (
-                    int.from_bytes(data[i + 7 : i + 9], "big"),
-                    int.from_bytes(data[i + 5 : i + 7], "big"),
+                    int.from_bytes(data[i + 6 : i + 8], "big"),
+                    int.from_bytes(data[i + 4 : i + 6], "big"),
                 )
-            i += 2 + seg_len
+            i += 1 + seg_len
         return None
     if n >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
         return (
@@ -69,6 +80,12 @@ def sniff_image_dims(data: bytes) -> tuple[int, int] | None:
             int.from_bytes(data[8:10], "little"),
         )
     if n >= 26 and data[:2] == b"BM":
+        dib = int.from_bytes(data[14:18], "little")
+        if dib == 12:  # OS/2 BITMAPCOREHEADER: u16 width/height at 18/20
+            return (
+                int.from_bytes(data[18:20], "little"),
+                int.from_bytes(data[20:22], "little"),
+            )
         return (
             abs(int.from_bytes(data[18:22], "little", signed=True)),
             abs(int.from_bytes(data[22:26], "little", signed=True)),
@@ -142,6 +159,13 @@ class BatchingServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # socket timeout for the whole request read: without it, a client
+            # that declares Content-Length and under-sends pins this handler
+            # thread forever (ThreadingHTTPServer spawns one per connection,
+            # so a slowloris client exhausts threads). A stalled read raises
+            # socket.timeout, which handle_one_request turns into a close.
+            timeout = 30
+
             def log_message(self, *args):  # quiet
                 pass
 
@@ -211,7 +235,17 @@ class BatchingServer:
                     return
                 data = self.rfile.read(length)
                 dims = sniff_image_dims(data)
-                if dims is not None and max(dims) > server.max_side:
+                if dims is None:
+                    # Containers the sniffer can't size (TIFF, PNM, ...) must
+                    # not reach imdecode: a small P4 PBM body can declare a
+                    # huge canvas and allocate the full frame before the
+                    # post-decode check — the exact DoS the sniff exists for.
+                    self._reply(400, {
+                        "error": "unsupported or unrecognized image container "
+                        "(send PNG, JPEG, GIF, BMP, or WebP)"
+                    })
+                    return
+                if max(dims) > server.max_side:
                     # pre-decode: cv2.imdecode would allocate the full frame
                     self._reply(400, {
                         "error": f"image {dims[0]}x{dims[1]} exceeds the "

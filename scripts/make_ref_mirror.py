@@ -229,10 +229,13 @@ def main():
         # bench_longT stores {"error": ...} for legs that failed on chip;
         # render only completed legs so one failed leg cannot abort the
         # whole doc regen (the module's partial-sweeps-stay-honest contract)
+        # isinstance guard: a scalar value in the log (e.g. "aborted_at": 3)
+        # must not TypeError the whole regen — skip-on-malformed is the contract
+        legs = {k: v for k, v in longt.items() if isinstance(v, dict)}
         bench_keys = sorted(
-            k for k in longt if k.endswith("-flash") and "error" not in longt[k]
+            k for k in legs if k.endswith("-flash") and "error" not in legs[k]
         )
-        failed = sorted(k for k in longt if "error" in longt[k])
+        failed = sorted(k for k in legs if "error" in legs[k])
         if bench_keys:
             out.append("\n## Long-sequence feature extraction (flash attention kernel)\n")
             out.append(
@@ -244,15 +247,15 @@ def main():
             out.append("| config | tokens | ms/image | img/s | patch-tok/s |")
             out.append("|:------|------:|------:|------:|------:|")
             for k in bench_keys:
-                r = longt[k]
+                r = legs[k]
                 out.append(
                     f"| {k[:-len('-flash')]} | {r['tokens']} | {r['ms_per_image']:.1f} "
                     f"| **{r['img_per_s']:.1f}** | {r['patch_tok_per_s']:,} |")
             par = next(
                 (
-                    longt[k]
-                    for k in longt
-                    if k.startswith("parity-") and "error" not in longt[k]
+                    legs[k]
+                    for k in legs
+                    if k.startswith("parity-") and "error" not in legs[k]
                 ),
                 None,
             )

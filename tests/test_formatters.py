@@ -229,3 +229,26 @@ def test_make_ref_mirror_longt_error_records(tmp_path, monkeypatch):
     assert "base-1302px-b1-flash" in text  # failed leg is named, not hidden
     assert "parity-1022px" in text
     assert "patch-feature" not in text  # errored parity record is not rendered
+
+
+def test_make_ref_mirror_longt_scalar_values(tmp_path, monkeypatch):
+    """A scalar value in the RESULTS_JSON payload (e.g. "aborted_at": 3) must
+    be skipped, not TypeError the whole doc regen — and a string value must
+    not silently substring-match the 'error' membership test."""
+    mod = _load_module("make_ref_mirror")
+    results = {
+        "aborted_at": 3,
+        "note-flash": "terror at 1302px",  # string containing 'error'
+        "base-1022px-b1-flash": {
+            "tokens": 5330, "ms_per_image": 29.2, "img_per_s": 34.22,
+            "patch_tok_per_s": 182376},
+    }
+    (tmp_path / "longt.log").write_text(f"RESULTS_JSON {json.dumps(results)}\n")
+    out = tmp_path / "REF_MIRROR.md"
+    monkeypatch.setattr(
+        sys, "argv", ["make_ref_mirror", "--glob-dir", str(tmp_path), "-o", str(out)],
+    )
+    mod.main()
+    text = out.read_text()
+    assert "| base-1022px-b1 | 5330 | 29.2 | **34.2** | 182,376 |" in text
+    assert "aborted_at" not in text and "note-flash" not in text

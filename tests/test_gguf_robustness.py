@@ -118,3 +118,22 @@ def test_fuzz_truncations_and_corruptions(tmp_path, rng):
                 t.as_numpy()
         except ok_errors:
             pass
+
+
+def test_reader_closes_fd_on_parse_error(tmp_path):
+    """A constructor failure (bad magic, truncated header, duplicate names)
+    must close the fd and mmap of the half-built reader — a long-lived server
+    scanning untrusted files would otherwise exhaust file descriptors."""
+    import os
+
+    path = tmp_path / "bad.gguf"
+    path.write_bytes(b"NOPE" + b"\0" * 64)
+
+    def open_fds():
+        return len(os.listdir("/proc/self/fd"))
+
+    before = open_fds()
+    for _ in range(8):
+        with pytest.raises(ValueError):
+            GGUFReader(path)
+    assert open_fds() <= before

@@ -307,9 +307,69 @@ def test_sniff_image_dims_headers_only():
     # GIF (cv2 can't encode GIF; hand-build the header)
     gif = b"GIF89a" + (96).to_bytes(2, "little") + (48).to_bytes(2, "little")
     assert sniff_image_dims(gif + b"\0" * 16) == (96, 48)
-    # unknown container -> None (falls through to the post-decode check)
+    # unknown container -> None (the handler rejects it pre-decode: formats
+    # the sniffer can't size must never reach imdecode's full-frame alloc)
     assert sniff_image_dims(b"\0" * 64) is None
     assert sniff_image_dims(b"") is None
+
+
+def test_sniff_jpeg_fill_bytes():
+    """ISO 10918-1 B.1.1.2: any run of 0xFF fill bytes may precede a marker
+    code and decoders skip them — the sniffer must too, or a bomb with one
+    fill byte after SOI sails past the pre-decode cap straight to imdecode."""
+    from dinov2_tpu.runtime.server import sniff_image_dims
+
+    ok, buf = cv2.imencode(".jpg", np.zeros((48, 96, 3), np.uint8))
+    assert ok
+    jpg = buf.tobytes()
+    for n_fill in (1, 3):
+        filled = jpg[:2] + b"\xff" * n_fill + jpg[2:]
+        assert sniff_image_dims(filled) == (96, 48), n_fill
+        # cross-check the premise: cv2 itself still decodes the filled stream
+        img = cv2.imdecode(np.frombuffer(filled, np.uint8), cv2.IMREAD_COLOR)
+        assert img is not None and img.shape[:2] == (48, 96)
+
+
+def test_sniff_bmp_core_header():
+    """OS/2 BITMAPCOREHEADER BMPs store u16 width/height at 18/20; reading a
+    u32 there merges the two fields, so a legit 100x100 image would 'exceed'
+    the side cap. The DIB header size at offset 14 selects the field widths."""
+    from dinov2_tpu.runtime.server import sniff_image_dims
+
+    core = (
+        b"BM" + b"\0" * 12
+        + (12).to_bytes(4, "little")      # BITMAPCOREHEADER size
+        + (100).to_bytes(2, "little")     # u16 width
+        + (100).to_bytes(2, "little")     # u16 height
+        + (1).to_bytes(2, "little")       # planes
+        + (24).to_bytes(2, "little")      # bpp
+    )
+    assert sniff_image_dims(core) == (100, 100)
+
+
+def test_unsniffable_container_rejected_before_decode(server):
+    """cv2.imdecode accepts containers the sniffer can't size (PBM/PGM/PPM,
+    TIFF, ...); a binary PBM under the body cap can declare a huge canvas and
+    allocate the full frame in imdecode, so un-sniffable bodies must bounce
+    400 BEFORE decode."""
+    import urllib.error
+
+    # binary PBM declaring 12000x12000 — cv2 decodes this container
+    pbm = b"P4\n12000 12000\n" + b"\xff" * 1024
+    calls = []
+    orig = cv2.imdecode
+    cv2.imdecode = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/classify", data=pbm, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 400
+        assert "container" in json.loads(exc.value.read())["error"]
+        assert not calls, "imdecode ran on an un-sniffable container"
+    finally:
+        cv2.imdecode = orig
 
 
 def test_png_bomb_rejected_before_decode(tmp_path, rng):
