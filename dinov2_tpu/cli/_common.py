@@ -89,17 +89,21 @@ def resolve_asset(path: str) -> str:
 
 
 def load_image_rgb(path: str):
-    """Read an image as RGB uint8 (cv2 reads BGR; quirk Q1 handled here once).
-    Paths that don't exist locally resolve against the bundled assets."""
-    import cv2
+    """Read an image as RGB uint8 (quirk Q1 lives in loader.decode_rgb — one
+    home). Paths that don't exist locally resolve against the bundled assets."""
+    from dinov2_tpu.runtime.loader import decode_rgb
 
-    img = cv2.imread(resolve_asset(path))
-    if img is None:
-        raise FileNotFoundError(f"failed to read image: {path}")
-    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    try:
+        return decode_rgb(resolve_asset(path))
+    except ValueError as e:
+        raise FileNotFoundError(str(e)) from None
 
 
 def save_image_rgb(path: str, img_rgb) -> None:
     import cv2
 
-    cv2.imwrite(path, cv2.cvtColor(img_rgb, cv2.COLOR_RGB2BGR))
+    # cv2.imwrite reports failure (missing directory, bad extension) by
+    # RETURNING False — swallowing it lets callers print "wrote <path>" for
+    # a file that does not exist
+    if not cv2.imwrite(path, cv2.cvtColor(img_rgb, cv2.COLOR_RGB2BGR)):
+        raise OSError(f"failed to write image: {path}")

@@ -129,11 +129,20 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true", help="emit JSON instead of markdown")
     args = p.parse_args(argv)
 
+    import shutil
     import tempfile
 
     batch_sizes = [int(b) for b in args.batch_sizes.split(",")]
     tmpdir = Path(tempfile.mkdtemp(prefix="dinov2-bench-"))
+    try:
+        return _run(args, batch_sizes, tmpdir)
+    finally:
+        # synthetic + quantized checkpoints can be multi-GB (giant); repeated
+        # sweeps must not fill /tmp
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
+
+def _run(args, batch_sizes, tmpdir: Path) -> int:
     if args.model:
         model_path = Path(args.model)
     else:
@@ -150,7 +159,17 @@ def main(argv=None) -> int:
         print(f"writing synthetic {args.size} checkpoint...", file=sys.stderr)
         write_synthetic_gguf(model_path, cfg)
 
-    variants = [("f16", model_path, "dequant")]
+    if args.model:
+        # honor --quant-mode for a user-supplied checkpoint (it may already be
+        # quantized; load_params falls back to dequant for fp16/fp32 files)
+        # and label the row by the file's actual ftype instead of "f16"
+        from dinov2_tpu.io.gguf import GGMLType, GGUFReader
+
+        with GGUFReader(model_path) as r:
+            base_label = GGMLType(int(r.kv.get("ftype", GGMLType.F16))).name.lower()
+        variants = [(base_label, model_path, args.quant_mode)]
+    else:
+        variants = [("f16", model_path, "dequant")]
     if args.quant:
         from dinov2_tpu.quant.quantize import quantize_gguf
 

@@ -66,7 +66,10 @@ def main(argv=None) -> int:
     for batch_paths, images in loader:
         probs = engine.classify_probs(images)
         for path, row in zip(batch_paths, probs):
-            idx = row.argsort()[::-1][: args.topk]
+            # ranking independent of -k: the top-5 metric must not silently
+            # become top-k when the user prints fewer than 5 classes
+            ranked = row.argsort()[::-1]
+            idx = ranked[: args.topk]
             rec = {
                 "path": str(path),
                 "topk": [
@@ -77,8 +80,8 @@ def main(argv=None) -> int:
             if labels is not None and path.name in labels:
                 want = labels[path.name]
                 total += 1
-                top1 += int(idx[0] == want)
-                top5 += int(want in idx[:5])
+                top1 += int(ranked[0] == want)
+                top5 += int(want in ranked[:5])
                 rec["label"] = want
             out.write(json.dumps(rec) + "\n")
     dt = time.perf_counter() - t0

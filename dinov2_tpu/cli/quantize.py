@@ -23,7 +23,21 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     t = args.type.lower()
-    qt = QUANT_TYPE_NAMES[t] if t in QUANT_TYPE_NAMES else GGMLType(int(t))
+    if t in QUANT_TYPE_NAMES:
+        qt = QUANT_TYPE_NAMES[t]
+    else:
+        try:
+            qt = GGMLType(int(t))
+        except ValueError:
+            raise SystemExit(
+                f"unknown quant type {args.type!r}: expected "
+                f"{'|'.join(sorted(QUANT_TYPE_NAMES))} or a ggml id (2|3|6|7|8)"
+            )
+        if qt not in set(QUANT_TYPE_NAMES.values()):
+            raise SystemExit(
+                f"{args.type} is not a supported quantization target "
+                f"({'|'.join(sorted(QUANT_TYPE_NAMES))})"
+            )
     out = quantize_gguf(args.input, args.output, qt)
     print(f"wrote {out}", file=sys.stderr)
     return 0

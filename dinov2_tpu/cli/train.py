@@ -49,6 +49,12 @@ def main(argv=None) -> int:
     p.add_argument("--export", default=None, help="write the fine-tuned model as GGUF")
     p.add_argument("--decode-threads", type=int, default=8)
     p.add_argument("--log-every", type=int, default=10)
+    # training defaults differ from the inference CLIs: parity is 'hf'
+    # (true-mean pooling; the reference divisor quirk Q3 is an
+    # inference-compat behavior, not a training semantic) and the default
+    # compute dtype is f32 (opt into bf16 compute with --dtype bf16;
+    # master weights are f32 either way)
+    p.set_defaults(parity="hf", dtype="f32")
     args = p.parse_args(argv)
 
     import jax
@@ -66,6 +72,21 @@ def main(argv=None) -> int:
     root = Path(args.data)
     classes, samples = _folder_dataset(root)
     log.info("dataset: %d samples, %d classes", len(samples), len(classes))
+    if len(samples) < args.batch:
+        # the drop-last step loop would run ZERO times and the export below
+        # would silently write the random-init classifier
+        raise SystemExit(
+            f"dataset has {len(samples)} samples < --batch {args.batch}; "
+            f"lower --batch (incomplete trailing batches are dropped)"
+        )
+    # flags train deliberately does not honor (vs. silently ignoring them):
+    # master weights stay f32 regardless of --dtype (--dtype sets the compute
+    # dtype below); fused-quant weights aren't trainable; parity is fixed 'hf'
+    if args.quant_mode != "dequant":
+        log.warning("--quant-mode %s ignored: training uses dequantized weights",
+                    args.quant_mode)
+    if args.parity != "hf":
+        log.warning("--parity is fixed to 'hf' for training")
 
     loaded = load_params(args.model, dtype=jnp.float32)
     config = DinoConfig(**{**loaded.config.__dict__, "num_classes": len(classes)})
@@ -83,14 +104,25 @@ def main(argv=None) -> int:
     from dinov2_tpu.cli._common import mesh_axes_of
 
     axes = mesh_axes_of(args)
+    if axes is None and args.data_parallel:
+        axes = {"data": jax.device_count()}
     mesh = make_mesh(axes) if axes else None
 
+    # --dtype selects the COMPUTE dtype (bf16 activations on the MXU with f32
+    # master weights is the standard mixed-precision recipe); --flash-attn
+    # routes attention like the inference CLIs
+    compute_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype]
     trainer = make_trainer(
         config,
         mesh=mesh,
         learning_rate=args.lr,
         weight_decay=args.weight_decay,
-        opts=ModelOptions(parity="hf", compute_dtype=jnp.float32, remat=True),
+        opts=ModelOptions(
+            parity="hf",
+            compute_dtype=compute_dtype,
+            remat=True,
+            flash_attention=True if args.flash_attn else "auto",
+        ),
         preprocess_in_step=True,
     )
     params, opt_state = trainer.place(params)
@@ -107,8 +139,11 @@ def main(argv=None) -> int:
             img = decode_rgb(path)
             return cv2.resize(img, (256, 256), interpolation=cv2.INTER_NEAREST), label
 
+        # keep uint8: classify_preprocess's to_float divides by 255 only for
+        # uint8 input — a float32 [0,255] batch would skip the divide and feed
+        # the backbone values 255x off-distribution
         pairs = list(pool.map(one, batch_samples))
-        imgs = np.stack([im for im, _ in pairs]).astype(np.float32)
+        imgs = np.stack([im for im, _ in pairs])
         labels = np.asarray([lb for _, lb in pairs])
         return imgs, labels
 

@@ -38,7 +38,13 @@ def quantize_gguf(
     input_path: str | Path, output_path: str | Path, quant_type: GGMLType | str
 ) -> Path:
     if isinstance(quant_type, str):
-        quant_type = QUANT_TYPE_NAMES[quant_type.lower()]
+        try:
+            quant_type = QUANT_TYPE_NAMES[quant_type.lower()]
+        except KeyError:
+            raise ValueError(
+                f"unsupported quantization type {quant_type!r} "
+                f"(expected {'|'.join(sorted(QUANT_TYPE_NAMES))})"
+            ) from None
     if quant_type not in QUANT_TYPE_NAMES.values():
         raise ValueError(f"unsupported quantization type {quant_type}")
 

@@ -19,7 +19,10 @@ import numpy as np
 
 def print_tensor(title: str, t, n: int = 10) -> None:
     arr = np.asarray(t, dtype=np.float32)
-    dims = list(arr.shape) + [1] * (4 - arr.ndim)
+    # ggml ne[] order: innermost dimension first (print_t_f32 prints
+    # ne[0..3], /root/reference/dinov2.cpp:76) — a (197, 384) activation
+    # must print "dims: 384 197 1 1" or the diff-against-reference fails
+    dims = list(reversed(arr.shape)) + [1] * (4 - arr.ndim)
     print(title)
     print(f"dims: {dims[0]} {dims[1]} {dims[2]} {dims[3]} f32")
     flat = arr.ravel()

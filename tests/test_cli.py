@@ -201,3 +201,95 @@ def test_inference_cli_mesh_flag(ckpt, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert " > class_" in r.stdout
+
+
+def test_quantize_cli_unknown_type(ckpt, tmp_path):
+    """An unknown type string must be a clean usage error, not an int() or
+    KeyError traceback; a valid ggml id that isn't a quant target likewise."""
+    from dinov2_tpu.cli import quantize
+
+    for bad in ("q4_k", "0", "1"):
+        with pytest.raises(SystemExit):
+            quantize.main([str(ckpt), str(tmp_path / "o.gguf"), bad])
+
+
+def test_save_image_rgb_raises_on_write_failure(tmp_path):
+    """cv2.imwrite reports failure by returning False; the helper must raise
+    instead of letting callers print 'wrote <path>' for a missing file."""
+    from dinov2_tpu.cli._common import save_image_rgb
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(OSError, match="failed to write"):
+        save_image_rgb(str(tmp_path / "nodir" / "out.jpg"), img)
+    save_image_rgb(str(tmp_path / "ok.png"), img)  # the happy path still works
+    assert (tmp_path / "ok.png").exists()
+
+
+def test_benchmark_cli_cleans_scratch_dir(ckpt, tmp_path, monkeypatch):
+    """The mkdtemp scratch dir holding synthetic/quantized checkpoints (multi-
+    GB at giant) must be removed on exit, success or failure."""
+    import contextlib
+    import io
+    import tempfile
+
+    from dinov2_tpu.cli import benchmark
+
+    made = []
+    real = tempfile.mkdtemp
+
+    def spy(*a, **k):
+        d = real(dir=tmp_path)
+        made.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", spy)
+    with contextlib.redirect_stdout(io.StringIO()):
+        rc = benchmark.main(
+            ["-m", str(ckpt), "--batch-sizes", "1", "--iters", "1",
+             "--dtype", "f32", "--quant", "q8_0", "--json"]
+        )
+    assert rc == 0
+    assert made and not any(Path(d).exists() for d in made)
+
+
+def test_eval_top5_independent_of_topk(ckpt, tmp_path, rng):
+    """top-5 accuracy must come from the full ranking: with -k 1 it used to be
+    computed from a 1-element index list, silently reporting top-1 as top-5."""
+    import json as _json
+
+    import cv2
+    import jax.numpy as jnp
+
+    from dinov2_tpu.cli import eval as eval_cli
+    from dinov2_tpu.runtime.engine import DinoEngine
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    imgs = {}
+    for i in range(4):
+        img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+        cv2.imwrite(str(d / f"im{i}.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        imgs[f"im{i}.png"] = img
+
+    # label every image with a WRONG class (argmax+1 mod 4): top-1 is 0.0 but
+    # with num_classes=4 every label is inside the true top-5
+    engine = DinoEngine(ckpt, dtype=jnp.float32)
+    labels = {}
+    for name, img in imgs.items():
+        probs = engine.classify_probs([img])[0]
+        labels[name] = int((int(np.argmax(probs)) + 1) % 4)
+    (tmp_path / "labels.json").write_text(_json.dumps(labels))
+
+    script = (
+        "import sys, jax; jax.config.update('jax_platforms','cpu'); "
+        f"sys.path.insert(0, {str(REPO)!r}); "
+        "from dinov2_tpu.cli import eval as e; "
+        f"sys.exit(e.main(['-m', {str(ckpt)!r}, '--dir', {str(d)!r}, "
+        f"'--labels', {str(tmp_path / 'labels.json')!r}, '-k', '1', "
+        f"'--dtype', 'f32', '--output', {str(tmp_path / 'o.jsonl')!r}]))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "top-1 0.0000  top-5 1.0000" in r.stderr

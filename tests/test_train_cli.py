@@ -78,3 +78,65 @@ def test_train_export_classify(dataset, tmp_path, rng):
     results = engine.classify([blue, red], topk=1)
     assert results[0][0][0] == "blue"
     assert results[1][0][0] == "red"
+
+
+def test_train_ships_uint8_batches(dataset, tmp_path, monkeypatch):
+    """classify_preprocess divides by 255 only for uint8 input, so the train
+    loop must hand the step uint8 frames: a float32 [0,255] batch skips the
+    divide and fine-tunes the backbone on inputs 255x off-distribution (the
+    e2e test can't catch it — separable toy classes learn anyway)."""
+    import dinov2_tpu.parallel.train as ptrain
+    from dinov2_tpu.cli import train as train_cli
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.config import DinoConfig
+
+    ckpt = tmp_path / "b.gguf"
+    write_synthetic_gguf(
+        ckpt,
+        DinoConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+                   num_classes=0, patch_size=14, img_size=70),
+        seed=3,
+        with_classifier=False,
+    )
+
+    dtypes = []
+    real = ptrain.make_trainer
+
+    def spy(*a, **k):
+        trainer = real(*a, **k)
+        orig = trainer.step
+
+        def step(params, opt_state, images, labels):
+            dtypes.append(np.asarray(images).dtype)
+            return orig(params, opt_state, images, labels)
+
+        trainer.step = step
+        return trainer
+
+    monkeypatch.setattr(ptrain, "make_trainer", spy)
+    rc = train_cli.main(
+        ["-m", str(ckpt), "--data", str(dataset), "--epochs", "1", "--batch", "8"]
+    )
+    assert rc == 0
+    assert dtypes and all(dt == np.uint8 for dt in dtypes), dtypes
+
+
+def test_train_refuses_dataset_smaller_than_batch(dataset, tmp_path):
+    """With fewer samples than --batch the drop-last loop runs ZERO steps and
+    --export would write the random-init classifier; refuse loudly instead."""
+    from dinov2_tpu.cli import train as train_cli
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.config import DinoConfig
+
+    ckpt = tmp_path / "b.gguf"
+    write_synthetic_gguf(
+        ckpt,
+        DinoConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+                   num_classes=0, patch_size=14, img_size=70),
+        seed=3,
+        with_classifier=False,
+    )
+    with pytest.raises(SystemExit, match="lower --batch"):
+        train_cli.main(
+            ["-m", str(ckpt), "--data", str(dataset), "--batch", "999"]
+        )

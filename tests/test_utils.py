@@ -39,7 +39,9 @@ def test_check_finite_flag(monkeypatch):
 def test_print_tensor(capsys):
     print_tensor("probe", jnp.arange(12.0).reshape(3, 4), n=4)
     out = capsys.readouterr().out
-    assert "dims: 3 4 1 1 f32" in out
+    # ggml ne[] order (innermost first): a (3, 4) array prints "4 3 1 1",
+    # matching print_t_f32's ne[0..3] line so traces diff cleanly
+    assert "dims: 4 3 1 1 f32" in out
     assert "sum:  66" in out
 
 
