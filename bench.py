@@ -60,9 +60,16 @@ _PROBE = (
 
 
 def wait_for_device() -> None:
-    """Block until a subprocess can claim the device and run one matmul."""
+    """Block until a subprocess can claim the device and run one matmul.
+
+    An EMPTY DINOV2_TPU_CLAIM_SCHEDULE ("" or ",") skips the probe entirely —
+    the escape hatch for a known-healthy device — instead of falling through
+    to the 'unreachable' exit without ever probing."""
     import subprocess
 
+    if not CLAIM_SCHEDULE_S:
+        print("bench: claim probe disabled (empty schedule)", file=sys.stderr)
+        return
     attempts = len(CLAIM_SCHEDULE_S)
     for attempt, timeout_s in enumerate(CLAIM_SCHEDULE_S, start=1):
         try:

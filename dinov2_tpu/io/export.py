@@ -104,7 +104,13 @@ def export_gguf(
         t32("classifier.bias", _np(params["classifier"]["bias"]))
 
     kv = config.to_gguf_kv()
-    kv["num_classes"] = len(id2label) if id2label else config.num_classes
+    # header must agree with the tensor list: num_classes > 0 with no
+    # classifier tensors makes the reference C++ loader fail on a missing
+    # classifier.weight and id2label_from_kv fabricate bogus labels
+    if "classifier" in params:
+        kv["num_classes"] = len(id2label) if id2label else config.num_classes
+    else:
+        kv["num_classes"] = 0
     kv["ftype"] = int(GGMLType.F16)
     for key, value in kv.items():
         w.add_uint32(key, value)

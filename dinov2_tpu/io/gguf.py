@@ -148,9 +148,7 @@ class GGUFTensor:
         """Decode to a float/int numpy array (dequantizes block formats)."""
         if self.ggml_type in _SIMPLE_NP_DTYPES:
             return self.data.view(_SIMPLE_NP_DTYPES[self.ggml_type]).reshape(self.shape)
-        if self.ggml_type == GGMLType.BF16:
-            u16 = self.data.view("<u2").astype(np.uint32) << 16
-            return u16.view(np.float32).reshape(self.shape)  # type: ignore[return-value]
+        # BF16 and the block formats all decode in quant.blocks (one home)
         from dinov2_tpu.quant.blocks import dequantize
 
         return dequantize(self.data.view(np.uint8).ravel(), self.ggml_type, self.shape)
@@ -234,6 +232,10 @@ class GGUFReader:
         self.kv_array_types: dict[str, GGUFValueType] = {}
         for _ in range(n_kv):
             key = cur.read_string()
+            if key in self.kv_types:
+                # ggml's gguf_init_from_file rejects duplicated keys; silent
+                # last-wins here would drop data the reference loader refuses
+                raise ValueError(f"{path}: duplicated KV key {key!r}")
             vtype = GGUFValueType(cur.unpack("<I"))
             if vtype == GGUFValueType.ARRAY:
                 elem_type, values = cur.read_array()

@@ -92,6 +92,11 @@ def write_synthetic_gguf(
         t32("classifier.bias", config.num_classes)
 
     for k, v in config.to_gguf_kv().items():
+        if k == "num_classes" and not with_classifier:
+            # keep the header honest: num_classes > 0 with no classifier
+            # tensors is a self-contradictory GGUF (the reference loader
+            # would fail to resolve classifier.weight)
+            v = 0
         w.add_uint32(k, v)
     w.write()
     return Path(path)

@@ -81,7 +81,9 @@ class DinoConfig:
             num_register_tokens=int(kv.get("num_register_tokens", 0)),
             patch_size=int(kv["patch_size"]),
             img_size=int(kv["img_size"]),
-            ftype=int(kv["ftype"]),
+            # the reference strips the quantization version before use:
+            # hparams.ftype %= GGML_QNT_VERSION_FACTOR (1000), dinov2.cpp:307
+            ftype=int(kv["ftype"]) % 1000,
             use_swiglu_ffn=bool(use_swiglu) if use_swiglu is not None else None,
         )
 

@@ -30,9 +30,6 @@ import numpy as np
 from dinov2_tpu.io.gguf import GGMLType, GGUFReader, GGUFTensor, QUANTIZED_TYPES
 from dinov2_tpu.models.config import DinoConfig, id2label_from_kv
 
-jax.tree_util.register_pytree_node.__doc__  # keep linters quiet about jax import
-
-
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QuantLinear:
@@ -44,7 +41,7 @@ class QuantLinear:
       codes: (out, in) int8, zero-point pre-subtracted for the symmetric
              formats, so dequant is `codes*d` (+ `m` for q4_1/q5_1)
 
-    packed=True ("true 4/5-bit", q4_0/q4_1/q5_0): codes are nibble-packed
+    packed=True ("true 4/5-bit", q4_0/q4_1/q5_0/q5_1): codes are nibble-packed
       (out, in//2) uint8 in NATURAL-ORDER planes — byte j holds weight element
       j (lo nibble) and element j+in/2 (hi nibble). ggml's block-local packing
       (elements 32b+j / 32b+16+j per byte) is repacked to this layout once at
@@ -157,7 +154,8 @@ def _soa_from_blocks(t: GGUFTensor) -> QuantLinear:
         # 32b+j lo / 32b+16+j hi) into natural-order planes (byte j = elements
         # j lo / j+in/2 hi): the matmul kernel then needs NO activation
         # permutation. Scales/mins lift out as f32; q5 5th bits become
-        # per-plane u16 words. One-time host work at load.
+        # per-plane u8 words (u8, not u16 — see _natural_plane_words).
+        # One-time host work at load.
         nb = in_dim // 32
         blocks = t.data.view(np.uint8).view(block_dtype(gt)).reshape(out_dim, nb)
         d = jnp.asarray(blocks["d"].astype(np.float32))
@@ -357,7 +355,7 @@ def load_params(
         )
 
     layers = []
-    swiglu = config.swiglu or f"encoder.layer.0.mlp.weights_in.weight" in tensors
+    swiglu = config.swiglu or "encoder.layer.0.mlp.weights_in.weight" in tensors
     for i in range(config.num_hidden_layers):
         base = f"encoder.layer.{i}"
         layer: dict[str, Any] = {
@@ -396,8 +394,20 @@ def load_params(
     if has_classifier:
         p["classifier"] = _linear(tensors, "classifier", dtype, quant_mode)
 
-    if swiglu and config.use_swiglu_ffn is None:
-        config = DinoConfig(**{**config.__dict__, "use_swiglu_ffn": True})
+    if swiglu:
+        updates: dict[str, Any] = {}
+        if config.use_swiglu_ffn is None:
+            updates["use_swiglu_ffn"] = True
+        if config.swiglu_hidden is None:
+            # infer the real FFN hidden size from the weights so checkpoints
+            # that deviate from the HF sizing rule (swiglu_hidden_dim's
+            # formula) round-trip through init_params/write_synthetic_gguf
+            # with the true GEMM shapes
+            updates["swiglu_hidden"] = (
+                tensors["encoder.layer.0.mlp.weights_in.weight"].shape[0] // 2
+            )
+        if updates:
+            config = DinoConfig(**{**config.__dict__, **updates})
 
     reader.close()
     return LoadedModel(

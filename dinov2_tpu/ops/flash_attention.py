@@ -196,7 +196,15 @@ def flash_unsafe_core_active(t: int, hd: int, block_q: int = 2048) -> bool:
     and can trip the rescue flag. The multi-KV online-softmax kernel is
     numerically safe by construction, so callers arming the whole-stack
     rescue (models/vit.py::forward_features) must not pay the duplicated
-    branch when this is False."""
+    branch when this is False.
+
+    hd % 128 == 0 never reaches _flash_forward at all: self_attention routes
+    it to flash_attention_slab (ops/attention.py), whose kernel is safe by
+    construction — without this gate the caller would trace the layer stack
+    twice and pay the per-forward isfinite reduce for a rescue that cannot
+    trigger."""
+    if hd % 128 == 0:
+        return False
     bq, bk, tp = _pick_blocks(t, hd, block_q)
     return bk == tp
 

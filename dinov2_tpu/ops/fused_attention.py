@@ -803,19 +803,9 @@ def _norm_mlp_activation(activation) -> str:
 
 
 def _mlp_act(y: jnp.ndarray, activation: str) -> jnp.ndarray:
-    if activation == "gelu_tanh":
-        return jax.nn.gelu(y, approximate=True)
-    if activation == "gelu_erf":
-        return jax.nn.gelu(y, approximate=False)
-    if activation == "gelu_tanh_f16":
-        from dinov2_tpu.ops.qmatmul import gelu_tanh_f16
+    from dinov2_tpu.ops.qmatmul import apply_activation
 
-        return gelu_tanh_f16(y)
-    if activation == "gelu_tanh_f16_veltkamp":
-        from dinov2_tpu.ops.qmatmul import gelu_tanh_f16_veltkamp
-
-        return gelu_tanh_f16_veltkamp(y)
-    raise ValueError(f"unknown activation {activation!r}")
+    return apply_activation(y, activation)
 
 
 def _slab_mlp_kernel(

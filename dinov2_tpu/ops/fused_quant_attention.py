@@ -274,7 +274,12 @@ def slab_layer_block_quant(
         interpret = jax.default_backend() != "tpu"
     b, t, d = x.shape
     qkv_meta, proj_meta = _ql_meta(qkv_ql), _ql_meta(proj_ql)
-    if qkv_meta["k"] != d or qkv_meta["out"] != 3 * d or proj_meta["k"] != d:
+    if (
+        qkv_meta["k"] != d
+        or qkv_meta["out"] != 3 * d
+        or proj_meta["k"] != d
+        or proj_meta["out"] != d
+    ):
         raise ValueError(
             f"quant layer kernel shape mismatch: x d={d}, "
             f"qkv {qkv_meta['out']}x{qkv_meta['k']}, "

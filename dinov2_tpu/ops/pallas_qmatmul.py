@@ -70,23 +70,12 @@ def _epilogue(acc: jnp.ndarray, b_ref, activation: str | None, out_dtype):
     y = acc.astype(out_dtype)
     if b_ref is not None:
         y = y + b_ref[:].astype(out_dtype)
-    if activation == "gelu_tanh":
-        y = jax.nn.gelu(y, approximate=True)
-    elif activation == "gelu_erf":
-        y = jax.nn.gelu(y, approximate=False)
-    elif activation == "gelu_tanh_f16":
-        # interpret mode only (real f16 casts); on TPU quant_matmul_pallas
-        # rewrites this to the Veltkamp emulation (Mosaic has no f16 casts)
-        from dinov2_tpu.ops.qmatmul import gelu_tanh_f16
+    # gelu_tanh_f16 reaches this kernel in interpret mode only (real f16
+    # casts); on TPU quant_matmul_pallas rewrites it to the Veltkamp
+    # emulation (Mosaic has no f16 casts)
+    from dinov2_tpu.ops.qmatmul import apply_activation
 
-        y = gelu_tanh_f16(y)
-    elif activation == "gelu_tanh_f16_veltkamp":
-        from dinov2_tpu.ops.qmatmul import gelu_tanh_f16_veltkamp
-
-        y = gelu_tanh_f16_veltkamp(y)
-    elif activation is not None:
-        raise ValueError(f"unknown activation {activation!r}")
-    return y
+    return apply_activation(y, activation)
 
 
 def _make_kernel_sym(activation, has_bias):
@@ -343,15 +332,19 @@ def quant_matmul_pallas(
         elif ql.m is not None:
             while bm * bn > 512 * 768 and bm > 8:
                 bm //= 2
-    # shrink to the VMEM budget (alternate halving the larger block)
+    # shrink to the VMEM budget (alternate halving whichever block can still
+    # shrink — halving only "the larger" spins forever when bm < bn with bn
+    # already at its 128 floor, e.g. k >= ~20k)
     while (
         _vmem_bytes(bm, bn, k, x2.dtype.itemsize, ql.m is not None) > _VMEM_BUDGET
         and (bm > 8 or bn > 128)
     ):
         if bm >= bn and bm > 8:
             bm = max(8, bm // 2)
-        else:
+        elif bn > 128:
             bn = max(128, bn // 2)
+        else:
+            bm = max(8, bm // 2)
     mp = _round_up(m, bm)
     np_ = _round_up(n, bn)
     codes, d, mm = ql.codes, ql.d, ql.m

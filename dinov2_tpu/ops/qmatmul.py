@@ -100,16 +100,25 @@ def gelu_tanh_f16_veltkamp(y: jnp.ndarray) -> jnp.ndarray:
     return round11(g).astype(y.dtype)
 
 
-def _apply_activation(y: jnp.ndarray, activation: str | None) -> jnp.ndarray:
+def apply_activation(y: jnp.ndarray, activation: str | None) -> jnp.ndarray:
+    """The ONE home of activation-name dispatch — the XLA path here, the slab
+    kernels (fused_attention._mlp_act) and the Pallas matmul epilogue
+    (pallas_qmatmul._epilogue) all route through it, so a new activation
+    lands on every path at once. Pure jnp, safe inside Pallas kernels."""
+    if activation is None:
+        return y
     if activation == "gelu_tanh":
         return jax.nn.gelu(y, approximate=True)
     if activation == "gelu_erf":
         return jax.nn.gelu(y, approximate=False)
     if activation == "gelu_tanh_f16":
         return gelu_tanh_f16(y)
-    if activation is not None:
-        raise ValueError(f"unknown activation {activation!r}")
-    return y
+    if activation == "gelu_tanh_f16_veltkamp":
+        return gelu_tanh_f16_veltkamp(y)
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+_apply_activation = apply_activation  # internal callers predate the rename
 
 
 def quant_matmul(

@@ -94,17 +94,6 @@ def shard_map_data_parallel(fn, mesh: Mesh, axis: str = "data"):
     )
 
 
-def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> tuple[np.ndarray, int]:
-    """Pad axis 0 up to a multiple (for even sharding); returns (padded, original_n)."""
-    n = x.shape[axis]
-    target = -(-n // multiple) * multiple
-    if target == n:
-        return x, n
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, target - n)
-    return np.pad(x, pad, mode="edge"), n
-
-
 # ---------------------------------------------------------------------------
 # Tensor-parallel param shardings (Megatron-style column/row split per block)
 # ---------------------------------------------------------------------------

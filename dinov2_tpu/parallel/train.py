@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from dinov2_tpu.image.preprocess import classify_preprocess
 from dinov2_tpu.models.config import DinoConfig
 from dinov2_tpu.models.vit import ModelOptions, forward_features, head_logits
-from dinov2_tpu.parallel.mesh import param_pspecs
+from dinov2_tpu.parallel.mesh import param_pspecs, shard_batch as _shard_batch
 
 
 @dataclass
@@ -84,10 +84,11 @@ class Trainer:
     def shard_batch(self, images, labels):
         if self.mesh is None:
             return jnp.asarray(images), jnp.asarray(labels)
-        img_sh = NamedSharding(self.mesh, P("data", None, None, None))
-        lbl_sh = NamedSharding(self.mesh, P("data"))
-        return jax.device_put(jnp.asarray(images), img_sh), jax.device_put(
-            jnp.asarray(labels), lbl_sh
+        # mesh.shard_batch replicates when the 'data' axis is absent, so a
+        # pure-'model' TP mesh (which place() supports) doesn't ValueError here
+        return (
+            _shard_batch(jnp.asarray(images), self.mesh),
+            _shard_batch(jnp.asarray(labels), self.mesh),
         )
 
     def step(self, params, opt_state, images, labels):

@@ -85,11 +85,23 @@ def _pack_qh(q: np.ndarray) -> np.ndarray:
 
 
 def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
-    """Quantize a float array to raw block bytes (uint8, flat)."""
+    """Quantize a float array to raw block bytes (uint8, flat).
+
+    Non-finite input is rejected up front: ggml's absmax loop (`fabs(x) >
+    amax`) SKIPS NaN, so the native codec would compute a finite scale,
+    sail through row validation, and silently write garbage codes for the
+    NaN element — while the numpy path's argmax would pick the NaN and fail
+    validation. Refusing keeps the two paths bit-identical and surfaces the
+    corrupted checkpoint at the source."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if not np.isfinite(x).all():
+        raise ValueError(
+            f"non-finite values in tensor being quantized to {ggml_type.name}"
+        )
     from dinov2_tpu.utils import native
 
     if native.available():
-        out = native.quantize(np.ascontiguousarray(x, dtype=np.float32), int(ggml_type))
+        out = native.quantize(x, int(ggml_type))
         if out is not None:
             return out
     blocks = _to_blocks(x)

@@ -65,6 +65,14 @@ def quantize_gguf(
 
     for name, tensor in reader.tensors.items():
         if do_quantize(name, tensor.shape):
+            if tensor.ggml_type not in (GGMLType.F16, GGMLType.F32, GGMLType.BF16):
+                # the reference aborts here (ggml_get_data_f32 asserts F32,
+                # dinov2.cpp:400-411) — transparently dequantizing and
+                # re-quantizing would silently stack quantization error
+                raise ValueError(
+                    f"{name} is already quantized ({tensor.ggml_type.name}); "
+                    f"refusing to re-quantize — convert back to fp16 first"
+                )
             data_f32 = tensor.as_numpy()  # fp16 -> fp32 expand happens here
             raw = quantize(data_f32, quant_type)
             if not validate_quantized(raw, quant_type):

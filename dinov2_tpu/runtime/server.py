@@ -379,6 +379,16 @@ class BatchingServer:
         self._stop.set()
         self._http.shutdown()
         self._http.server_close()  # release the bound listening socket
+        # fail any requests still queued: their events would otherwise never
+        # be set, leaving handler threads (and clients) blocked for the full
+        # request_timeout_s before a 504
+        while True:
+            try:
+                pending = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            pending.error = "server stopped"
+            pending.event.set()
 
     def serve_forever(self):
         self._batcher.start()

@@ -57,3 +57,14 @@ def test_claim_timeout_then_success(monkeypatch, fast_claim):
         bench.wait_for_device()
     finally:
         flag.unlink(missing_ok=True)
+
+
+def test_empty_schedule_skips_probe(monkeypatch):
+    """DINOV2_TPU_CLAIM_SCHEDULE="" must SKIP the probe (the known-healthy-
+    device escape hatch), not exit 2 claiming the device is unreachable
+    without ever probing it."""
+    monkeypatch.setattr(bench, "CLAIM_SCHEDULE_S", ())
+    monkeypatch.setattr(
+        bench, "_PROBE", "raise SystemExit(1)"  # would fail if it ever ran
+    )
+    bench.wait_for_device()  # returns without raising

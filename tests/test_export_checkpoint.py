@@ -95,3 +95,22 @@ def test_export_refuses_fused_quant(tmp_path):
     loaded = load_params(q, dtype=jnp.float32, quant_mode="fused")
     with pytest.raises(ValueError, match="fused-quantized"):
         export_gguf(tmp_path / "x.gguf", loaded.params, loaded.config)
+
+
+def test_export_headless_params_kv_consistent(tmp_path):
+    """Exporting params without a classifier must write num_classes=0 even if
+    the config still carries a class count (header/tensor consistency — the
+    reference loader resolves classifier.weight whenever num_classes > 0)."""
+    from dinov2_tpu.io.gguf import GGUFReader
+    from dinov2_tpu.io.export import export_gguf
+    from dinov2_tpu.models.config import DinoConfig
+    from dinov2_tpu.models.params import init_params
+
+    cfg = DinoConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+                     num_classes=4, patch_size=14, img_size=70)
+    params = init_params(cfg, seed=0)
+    params.pop("classifier", None)
+    out = export_gguf(tmp_path / "h.gguf", params, cfg)
+    with GGUFReader(out) as r:
+        assert r.kv["num_classes"] == 0
+        assert not any(n.startswith("classifier") for n in r.tensors)

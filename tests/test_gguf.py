@@ -337,3 +337,56 @@ def test_nested_array_kv_writable(tmp_path):
     assert r.kv["nested"] == [[1, 2], [3, 4, 5]]
     assert r.kv_array_types["nested"] == GGUFValueType.ARRAY
     r.close()
+
+
+def test_duplicate_kv_keys_rejected(tmp_path):
+    """ggml's loader rejects duplicated KV keys; silent last-wins would drop
+    data the reference C++ refuses to read (same class as duplicate tensor
+    names)."""
+    def pstr(v):
+        b = v.encode()
+        return struct.pack("<Q", len(b)) + b
+
+    kv = b"".join(
+        pstr("general.alignment") + struct.pack("<I", int(GGUFValueType.UINT32))
+        + struct.pack("<I", val)
+        for val in (32, 64)
+    )
+    head = struct.pack("<4sIQQ", b"GGUF", 3, 0, 2) + kv
+    p = tmp_path / "dupkv.gguf"
+    p.write_bytes(head + b"\0" * 64)
+    with pytest.raises(ValueError, match="duplicated KV key"):
+        GGUFReader(p)
+
+
+def test_quantize_gguf_refuses_requantize(tmp_path, rng):
+    """The reference aborts on a non-F16/F32 source tensor
+    (ggml_get_data_f32 asserts, dinov2.cpp:400-411); transparently
+    dequantize-requantize would silently stack quantization error."""
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.config import DinoConfig
+    from dinov2_tpu.quant.quantize import quantize_gguf
+
+    src = write_synthetic_gguf(
+        tmp_path / "f.gguf",
+        DinoConfig(hidden_size=64, num_hidden_layers=1, num_attention_heads=2,
+                   num_classes=0, patch_size=14, img_size=70),
+        seed=1,
+    )
+    q1 = quantize_gguf(src, tmp_path / "q8.gguf", "q8_0")
+    with pytest.raises(ValueError, match="already quantized"):
+        quantize_gguf(q1, tmp_path / "q4.gguf", "q4_0")
+
+
+def test_ftype_strips_qnt_version_factor(tmp_path):
+    """Old-convention GGUFs encode the quant version in ftype
+    (GGML_QNT_VERSION*1000 + type); the reference strips it
+    (hparams.ftype %= 1000, dinov2.cpp:307) and so must we, or
+    GGMLType(2002) crashes the loader."""
+    from dinov2_tpu.models.config import DinoConfig
+
+    kv = {"hidden_size": 64, "num_hidden_layers": 2, "num_attention_heads": 2,
+          "patch_size": 14, "img_size": 70, "ftype": 2 * 1000 + 2}
+    cfg = DinoConfig.from_gguf_kv(kv)
+    assert cfg.ftype == 2
+    assert GGMLType(cfg.ftype) == GGMLType.Q4_0

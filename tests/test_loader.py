@@ -115,3 +115,32 @@ def test_batch_loader_cubic_float_matches_reference_order(image_dir):
         ref = decode_rgb(p).astype(np.float32) / 255.0
         ref = cv2.resize(ref, (256, 256), interpolation=cv2.INTER_CUBIC)
         np.testing.assert_array_equal(images[i], ref)
+
+
+def test_swiglu_hidden_inferred_from_weights(tmp_path):
+    """A SwiGLU checkpoint whose FFN hidden size deviates from the HF sizing
+    rule must load with the REAL dim in config.swiglu_hidden: init_params /
+    write_synthetic_gguf built from that config would otherwise silently use
+    formula-shaped GEMMs."""
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.config import DinoConfig
+    from dinov2_tpu.models.params import load_params
+
+    cfg = DinoConfig(hidden_size=64, num_hidden_layers=1, num_attention_heads=2,
+                     num_classes=0, patch_size=14, img_size=70,
+                     use_swiglu_ffn=True, swiglu_hidden=96)  # formula says 176
+    path = write_synthetic_gguf(tmp_path / "sw.gguf", cfg, seed=1)
+
+    # strip the hint KVs a foreign writer might omit: infer from weights alone
+    from dinov2_tpu.io.gguf import GGUFReader, write_gguf
+
+    with GGUFReader(path) as r:
+        kv = {k: v for k, v in r.kv.items() if k != "swiglu_hidden"}
+        stripped = tmp_path / "sw2.gguf"
+        write_gguf(stripped, kv, dict(r.tensors),
+                   kv_types=r.kv_types, kv_array_types=r.kv_array_types)
+
+    loaded = load_params(stripped, dtype="float32")
+    assert loaded.config.swiglu_hidden == 96
+    assert loaded.config.swiglu_hidden_dim == 96
+    assert loaded.params["layers"]["mlp"]["win"]["kernel"].shape[-1] == 2 * 96

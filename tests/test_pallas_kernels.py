@@ -710,3 +710,27 @@ def test_flash_rescue_gate_matches_1kv_condition():
         assert flash_unsafe_core_active(t, 64)
     for t in (4096, 16384):  # native-resolution territory: multi-KV, safe
         assert not flash_unsafe_core_active(t, 64)
+
+
+def test_pallas_qmatmul_huge_k_terminates(rng):
+    """The VMEM shrink loop used to spin forever at k >= ~20k: with bm < bn
+    and bn already at its 128 floor, 'halve the larger block' made no
+    progress. Default block sizes (no block_m/block_n override) must both
+    terminate and stay correct."""
+    n, k, m = 128, 20480, 4
+    ql = _make_ql(rng, n, k, GGMLType.Q8_0)
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.05, jnp.float32)
+    want = np.asarray(x @ dequant_weight(ql, jnp.float32).T)
+    got = np.asarray(quant_matmul_pallas(x, ql, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.6)
+
+
+def test_flash_unsafe_core_inactive_for_slab_head_dims():
+    """hd % 128 == 0 routes to flash_attention_slab (safe by construction),
+    so the rescue predicate must be False there — forward_features would
+    otherwise trace the whole layer stack twice for a rescue that can never
+    trigger."""
+    from dinov2_tpu.ops.flash_attention import flash_unsafe_core_active
+
+    assert flash_unsafe_core_active(257, 128) is False
+    assert flash_unsafe_core_active(257, 256) is False

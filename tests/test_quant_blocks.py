@@ -149,3 +149,17 @@ def test_validate_routes_native(rng, monkeypatch):
         )
     for good_ok, bad_ok in results.values():
         assert good_ok is True and bad_ok is False
+
+
+def test_quantize_rejects_non_finite(rng):
+    """ggml's absmax loop skips NaN, so the native codec would compute a
+    finite scale, PASS row validation, and silently write garbage codes —
+    while the numpy argmax path picks the NaN and fails validation. The one
+    consistent (and honest) behavior is refusing non-finite input up front,
+    identically on both paths."""
+    for bad in (np.nan, np.inf, -np.inf):
+        x = rng.standard_normal((2, 64)).astype(np.float32)
+        x[1, 7] = bad
+        for t in ALL_TYPES:
+            with pytest.raises(ValueError, match="non-finite"):
+                quantize(x, t)

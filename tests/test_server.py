@@ -456,3 +456,24 @@ def test_requests_counter_and_empty_error_500(tmp_path, rng):
         srv.stop()
     # stop() must release the listening socket, not just the serve loop
     assert srv._http.socket.fileno() == -1
+
+
+def test_stop_fails_queued_requests(tmp_path):
+    """stop() must drain the request queue and fail leftovers: an unset event
+    leaves the handler thread (and client) blocked for the full
+    request_timeout_s after the server is gone."""
+    from dinov2_tpu.runtime.server import _Pending
+
+    path = tmp_path / "m.gguf"
+    write_synthetic_gguf(path, TINY, seed=3)
+    srv = BatchingServer(DinoEngine(path, dtype=jnp.float32), port=0)
+    srv.start()
+    srv.stop()
+    srv._batcher.join(timeout=10)
+    assert not srv._batcher.is_alive()
+
+    pending = _Pending(image=np.zeros((32, 32, 3), np.uint8), mode="classify")
+    srv._queue.put(pending)
+    srv.stop()  # idempotent; must fail the straggler
+    assert pending.event.is_set()
+    assert pending.error == "server stopped"

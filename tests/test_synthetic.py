@@ -70,3 +70,20 @@ def test_synthetic_matches_converter_inventory(tmp_path, registers, swiglu):
     for key in ("hidden_size", "num_hidden_layers", "num_attention_heads",
                 "num_classes", "patch_size", "img_size", "num_register_tokens"):
         assert conv_kv[key] == syn_kv[key], key
+
+
+def test_headless_checkpoint_kv_consistent(tmp_path):
+    """with_classifier=False must write num_classes=0 even when the config
+    says otherwise: num_classes>0 with no classifier tensors is a GGUF the
+    reference loader fails on (missing classifier.weight)."""
+    from dinov2_tpu.io.gguf import GGUFReader
+    from dinov2_tpu.io.synthetic import write_synthetic_gguf
+    from dinov2_tpu.models.config import DinoConfig
+
+    cfg = DinoConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+                     num_classes=1000, patch_size=14, img_size=70)
+    path = write_synthetic_gguf(tmp_path / "h.gguf", cfg, seed=1,
+                                with_classifier=False)
+    with GGUFReader(path) as r:
+        assert r.kv["num_classes"] == 0
+        assert not any(n.startswith("classifier") for n in r.tensors)
