@@ -122,15 +122,37 @@ def main(argv=None) -> int:
     except ImportError:  # pragma: no cover
         threadpool_limits = None
 
+    sizes = [s.strip() for s in args.sizes.split(",") if s.strip()]
     rows = []
-    for size in args.sizes.split(","):
-        size = size.strip()
-        print(f"benchmarking torch-cpu {size}...", file=sys.stderr)
-        if threadpool_limits is not None and args.threads:
-            with threadpool_limits(limits=args.threads):
+    if len(sizes) > 1:
+        # one subprocess per size: ru_maxrss is a PROCESS-LIFETIME high-water
+        # mark, so an in-process sweep latches the largest size's RSS onto
+        # every later row (e.g. --sizes giant,small reported ~5 GB for small).
+        # The reference methodology also runs one process per config
+        # (benchmark.sh's /usr/bin/time per run).
+        import subprocess
+        import tempfile
+        from pathlib import Path
+
+        for size in sizes:
+            with tempfile.TemporaryDirectory() as td:
+                out = Path(td) / "one.json"
+                cmd = [sys.executable, __file__, "--sizes", size,
+                       "--iters", str(args.iters), "--json", str(out)]
+                if args.threads:
+                    cmd += ["--threads", str(args.threads)]
+                r = subprocess.run(cmd, stdout=subprocess.DEVNULL)
+                if r.returncode != 0:
+                    return r.returncode
+                rows.extend(json.loads(out.read_text())["results"])
+    else:
+        for size in sizes:
+            print(f"benchmarking torch-cpu {size}...", file=sys.stderr)
+            if threadpool_limits is not None and args.threads:
+                with threadpool_limits(limits=args.threads):
+                    rows.append(bench_size(size, args.iters, torch))
+            else:
                 rows.append(bench_size(size, args.iters, torch))
-        else:
-            rows.append(bench_size(size, args.iters, torch))
 
     meta = {
         "torch_version": torch.__version__,

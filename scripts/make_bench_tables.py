@@ -34,11 +34,14 @@ def _table(data: dict, variants: list[str], batch: int, bold_weights: str | None
             rows.append(f"| {v} | — | — | — | — | — | — |")
             continue
         r = recs[0]
-        w = f"**{r['hbm_weights_mb']:.1f}**" if v == bold_weights else f"{r['hbm_weights_mb']:.1f}"
+        # cli/benchmark emits null MB fields on backends without memory
+        # analysis (CPU jax) — render "—" instead of TypeError-ing the regen
+        mb = lambda x: "—" if x is None else f"{x:.1f}"  # noqa: E731
+        w = f"**{mb(r['hbm_weights_mb'])}**" if v == bold_weights else mb(r["hbm_weights_mb"])
         rows.append(
             f"| {v}    | {r['ms_per_batch']:.2f} | {r['ms_per_image']:.3f} "
-            f"| {r['images_per_sec']:.0f} | {w} | {r['hbm_peak_mb']:.1f} "
-            f"| {r['hbm_temp_mb']:.1f} |"
+            f"| {r['images_per_sec']:.0f} | {w} | {mb(r['hbm_peak_mb'])} "
+            f"| {mb(r['hbm_temp_mb'])} |"
         )
     return "\n".join(rows)
 

@@ -69,6 +69,13 @@ def _load(path: Path):
         return None
 
 
+def _mb(v, nd: int = 0) -> str:
+    """Format an HBM MB field; cli/benchmark emits null on backends without
+    memory analysis (CPU jax), and f"{None:.0f}" would TypeError the whole
+    regen — partial sweeps must stay honest, not fatal."""
+    return "-" if v is None else f"{v:.{nd}f}"
+
+
 def _load_results_line(path: Path):
     """Parse a queue step log whose last `RESULTS_JSON {...}` line carries the
     measurements (scripts/bench_longt.py convention)."""
@@ -135,7 +142,7 @@ def main():
         out.append(
             f"| {s} | {t} | {c} | **{ms:.2f}** | {c / ms:.0f}× "
             f"| {'' if i64 is None else f'**{i64:.0f}**'} "
-            f"| {r1['hbm_weights_mb']:.0f} | {r1['hbm_peak_mb']:.0f} |")
+            f"| {_mb(r1['hbm_weights_mb'])} | {_mb(r1['hbm_peak_mb'])} |")
 
     out.append("\n## Quantized: b1 latency (dequant-at-load routing — the measured-fastest TPU route)\n")
     out.append(
@@ -171,8 +178,8 @@ def main():
                 out.append(f"| {s} | {q} | {c_mem} | — | — | — |")
                 continue
             out.append(
-                f"| {s} | {q} | {c_mem} | **{r1['hbm_weights_mb']:.0f}** "
-                f"| {r1['ms_per_batch']:.2f} | {r1['hbm_peak_mb']:.0f} |")
+                f"| {s} | {q} | {c_mem} | **{_mb(r1['hbm_weights_mb'])}** "
+                f"| {r1['ms_per_batch']:.2f} | {_mb(r1['hbm_peak_mb'])} |")
 
     if any(reg[s] for s in SIZES):
         out.append("\n## fp16 with register tokens (reference README.md:291-299)\n")
@@ -193,7 +200,7 @@ def main():
             i64 = "" if r64 is None else f"**{r64['images_per_sec']:.0f}**"
             out.append(
                 f"| {s} | {t} | {c} | **{ms:.2f}** | {c / ms:.0f}× "
-                f"| {i64} | {r1['hbm_peak_mb']:.0f} |")
+                f"| {i64} | {_mb(r1['hbm_peak_mb'])} |")
 
     if any(feat[s] for s in SIZES):
         out.append("\n## 518px feature extraction (backbone patch tokens, T=1370)\n")
@@ -212,7 +219,7 @@ def main():
                 continue
             out.append(
                 f"| {s} | **{r8['ms_per_image']:.2f}** "
-                f"| **{r8['images_per_sec']:.0f}** | {r8['hbm_peak_mb']:.0f} |")
+                f"| **{r8['images_per_sec']:.0f}** | {_mb(r8['hbm_peak_mb'])} |")
 
     if ladder and "f16" in ladder:
         out.append("\n## ViT-g/14 fp16 batch ladder (BASELINE.json names giant batched inference)\n")

@@ -155,15 +155,19 @@ def main():
         k = jnp.asarray(rng.standard_normal((b, t, h, hd)), dtype=jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((b, t, h, hd)), dtype=jnp.bfloat16)
 
-        def iso_vanilla(_, qx):
-            return vanilla_attention(qx, k, v, 0.125)
-
-        ms = timed_scan(lambda p, qx: vanilla_attention(qx, k, v, 0.125), None, q)
+        # k/v travel as ARGUMENTS: closing over ~25 MB tensors embeds them as
+        # HLO constants — a huge compile payload through the tunnel (the
+        # anti-pattern tpu_suite.scan_timed's docstring bans)
+        ms = timed_scan(
+            lambda p, qx: vanilla_attention(qx, p[0], p[1], 0.125), (k, v), q
+        )
         print(f"{'iso-vanilla':12s} {ms:7.2f} ms/call", flush=True)
 
         from dinov2_tpu.ops.flash_attention import flash_attention
 
-        ms = timed_scan(lambda p, qx: flash_attention(qx, k, v, 0.125), None, q)
+        ms = timed_scan(
+            lambda p, qx: flash_attention(qx, p[0], p[1], 0.125), (k, v), q
+        )
         print(f"{'iso-flash':12s} {ms:7.2f} ms/call", flush=True)
 
     if "full" in results and "qkvonly" in results:

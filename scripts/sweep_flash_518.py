@@ -42,7 +42,11 @@ def main():
 
     for bqmax in (128, 256, 512, 1024, 2048):
         bq, bk, tp = fa._pick_blocks(t, hd, bqmax)
-        ms = timed_scan(lambda p, qx: fa.flash_attention(qx, k, v, scale, bqmax), None, q)
+        # k/v as arguments, not closure constants (compile-payload bloat)
+        ms = timed_scan(
+            lambda p, qx, bm=bqmax: fa.flash_attention(qx, p[0], p[1], scale, bm),
+            (k, v), q,
+        )
         print(
             f"block_q<={bqmax:4d} -> (bq={bq}, bk={bk}, tp={tp}): "
             f"{ms:7.2f} ms  ~{gflop / ms:5.1f} TF/s (~{gflop / ms / 197 * 100:4.1f}% MFU)",
@@ -52,7 +56,7 @@ def main():
     # vanilla for reference (HBM (B,H,T,T) scores round-trip)
     from dinov2_tpu.ops.attention import vanilla_attention
 
-    ms = timed_scan(lambda p, qx: vanilla_attention(qx, k, v, scale), None, q)
+    ms = timed_scan(lambda p, qx: vanilla_attention(qx, p[0], p[1], scale), (k, v), q)
     print(f"vanilla XLA          : {ms:7.2f} ms  ~{gflop / ms:5.1f} TF/s "
           f"(~{gflop / ms / 197 * 100:4.1f}% MFU)", flush=True)
 

@@ -187,6 +187,13 @@ def bench_attention():
 if __name__ == "__main__":
     import argparse
 
+    # persistent compilation cache: this is the longest queue job (3 attention
+    # modes x ~7 forward shapes + kernel benches); a rerun after a tunnel drop
+    # must hit warm artifacts instead of repaying every multi-minute compile
+    from dinov2_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--sections", default="forward,attention,qmatmul",

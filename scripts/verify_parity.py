@@ -135,6 +135,14 @@ def main(argv=None) -> int:
                    "JAX_PLATFORMS=cpu; this uses the config knob, which wins)")
     args = p.parse_args(argv)
 
+    if args.auto and args.dtype != "f32":
+        # the robustness legs compare against the f32 reference pass; with
+        # --dtype bf16 that pass IS bf16, making the bf16 leg a vacuous
+        # self-comparison while the main report compares bf16 output against
+        # the torch oracle at the f32 tolerance — a spurious MISMATCH
+        raise SystemExit("--auto requires --dtype f32 (its legs are pinned "
+                         "to an f32 reference pass)")
+
     if args.auto:
         ckpt, reason = _find_auto_checkpoint()
         if ckpt is None:
@@ -184,11 +192,16 @@ def main(argv=None) -> int:
 
             model = AutoModel.from_pretrained(args.model_name)
     model.eval()
-    # GGUF stores 2D weights as fp16: round the torch side identically so the
-    # comparison isolates compute differences
+    # GGUF stores ONLY 2D weights as fp16 — 1D tensors, position embeddings,
+    # cls/register tokens stay f32 (io/convert.py:53, _F32_KEEP). Round the
+    # torch side by the same rule so the comparison isolates compute
+    # differences; rounding everything would perturb exactly the tensors a
+    # user-supplied --gguf deliberately kept f32.
+    _keep_f32 = ("position_embeddings", "cls_token", "register_tokens")
     with torch.no_grad():
-        for param in model.parameters():
-            param.copy_(param.half().float())
+        for name, param in model.named_parameters():
+            if param.ndim >= 2 and not any(k in name for k in _keep_f32):
+                param.copy_(param.half().float())
 
     if args.gguf:
         gguf_path = Path(args.gguf)
@@ -288,8 +301,11 @@ def main(argv=None) -> int:
         leg("bf16", loaded, jnp.bfloat16, ref_vec)
         from dinov2_tpu.quant.quantize import quantize_gguf
 
+        # derived quant checkpoints go to a temp dir, never next to a
+        # user-supplied --gguf (read-only model dirs; name collisions)
+        qdir = Path(tempfile.mkdtemp(prefix="verify-quant-"))
         for qt in ("q4_0", "q8_0"):
-            qpath = gguf_path.parent / f"verify.{qt}.gguf"
+            qpath = qdir / f"verify.{qt}.gguf"
             quantize_gguf(gguf_path, qpath, qt)
             lq = load_params(qpath, dtype=jnp.float32, quant_mode="fused")
             leg(qt, lq, jnp.float32, ref_vec)

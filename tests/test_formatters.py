@@ -252,3 +252,57 @@ def test_make_ref_mirror_longt_scalar_values(tmp_path, monkeypatch):
     text = out.read_text()
     assert "| base-1022px-b1 | 5330 | 29.2 | **34.2** | 182,376 |" in text
     assert "aborted_at" not in text and "note-flash" not in text
+
+
+def test_make_bench_tables_null_memory_fields(tmp_path, monkeypatch):
+    """cli/benchmark emits null MB fields on backends without memory analysis
+    (CPU jax); the formatter must render a dash, not TypeError the regen."""
+    mod = _load_module("make_bench_tables")
+    variants = ["f16", "q4_0", "q4_1", "q5_0", "q5_1", "q8_0"]
+    rec = _rec()
+    rec["hbm_peak_mb"] = None
+    rec["hbm_temp_mb"] = None
+    dq = {v: [dict(rec)] for v in variants}
+    dq_p = tmp_path / "dq.json"
+    fu_p = tmp_path / "fu.json"
+    dq_p.write_text(json.dumps(dq))
+    fu_p.write_text(json.dumps(dq))
+    doc = tmp_path / "BENCH_TABLES.md"
+    stub_table = (
+        "| variant | ms/batch (b64) | ms/image | img/s | weights MB | peak HBM MB | temps MB |\n"
+        "|---------|---------------:|---------:|------:|-----------:|------------:|---------:|\n"
+        "| f16    | 0.00 | 0.000 | 0 | 0.0 | 0.0 | 0.0 |\n"
+    )
+    doc.write_text("# T\n\n" + stub_table + "\nmid\n\n" + stub_table + "\n")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["make_bench_tables", "--dequant", str(dq_p), "--fused", str(fu_p),
+         "--doc", str(doc)],
+    )
+    mod.main()
+    text = doc.read_text()
+    assert "| — |" in text and "None" not in text
+
+
+def test_make_ref_mirror_null_memory_fields(tmp_path, monkeypatch):
+    """Same null-MB guard for the reference-mirror renderer: a CPU-produced
+    sweep (hbm fields null) must render dashes instead of aborting."""
+    mod = _load_module("make_ref_mirror")
+    variants = ["f16", "q4_0", "q4_1", "q5_0", "q5_1", "q8_0"]
+
+    def nullrec(**kw):
+        r = _rec(**kw)
+        r["hbm_weights_mb"] = r["hbm_peak_mb"] = r["hbm_temp_mb"] = None
+        return r
+
+    data = {v: [nullrec(batch=1, ms=1.37, imgs=730.0), nullrec()]
+            for v in variants}
+    (tmp_path / "mirror_small_dequant.json").write_text(json.dumps(data))
+    out = tmp_path / "REF_MIRROR.md"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["make_ref_mirror", "--glob-dir", str(tmp_path), "-o", str(out)],
+    )
+    mod.main()
+    text = out.read_text()
+    assert "| - |" in text and "None" not in text
