@@ -130,6 +130,7 @@ class BatchingServer:
         request_timeout_s: float = 600.0,
         max_body_mb: float = 32.0,
         max_side: int = 4096,
+        read_timeout_s: float = 30.0,
     ):
         self.engine = engine
         self.topk = topk
@@ -164,7 +165,7 @@ class BatchingServer:
             # thread forever (ThreadingHTTPServer spawns one per connection,
             # so a slowloris client exhausts threads). A stalled read raises
             # socket.timeout, which handle_one_request turns into a close.
-            timeout = 30
+            timeout = read_timeout_s
 
             def log_message(self, *args):  # quiet
                 pass

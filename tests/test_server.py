@@ -477,3 +477,32 @@ def test_stop_fails_queued_requests(tmp_path):
     srv.stop()  # idempotent; must fail the straggler
     assert pending.event.is_set()
     assert pending.error == "server stopped"
+
+
+def test_slowloris_connection_closed(tmp_path):
+    """A client that declares Content-Length and under-sends must not pin a
+    handler thread forever: the read times out and the connection closes."""
+    import socket
+    import time as _time
+
+    path = tmp_path / "m.gguf"
+    write_synthetic_gguf(path, TINY, seed=3)
+    srv = BatchingServer(
+        DinoEngine(path, dtype=jnp.float32), port=0, read_timeout_s=1.0
+    )
+    srv.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(
+            b"POST /classify HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 100\r\n\r\n"  # ...and never send the body
+        )
+        t0 = _time.perf_counter()
+        s.settimeout(30)
+        data = s.recv(4096)  # EOF (b"") when the server closes the socket
+        elapsed = _time.perf_counter() - t0
+        assert data == b"", data[:100]
+        assert elapsed < 15, f"connection lingered {elapsed:.1f}s"
+    finally:
+        s.close()
+        srv.stop()
