@@ -73,7 +73,7 @@ def _mb(v, nd: int = 0) -> str:
     """Format an HBM MB field; cli/benchmark emits null on backends without
     memory analysis (CPU jax), and f"{None:.0f}" would TypeError the whole
     regen — partial sweeps must stay honest, not fatal."""
-    return "-" if v is None else f"{v:.{nd}f}"
+    return "—" if v is None else f"{v:.{nd}f}"  # em-dash like missing rows
 
 
 def _load_results_line(path: Path):

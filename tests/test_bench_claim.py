@@ -40,10 +40,11 @@ def test_claim_failure_exits_nonzero(monkeypatch, fast_claim):
     assert exc.value.code == 2
 
 
-def test_claim_timeout_then_success(monkeypatch, fast_claim):
-    # first attempt hangs past the bounded timeout, second succeeds
-    flag = Path(__file__).parent / "_claim_flag_tmp"
-    flag.unlink(missing_ok=True)
+def test_claim_timeout_then_success(monkeypatch, fast_claim, tmp_path):
+    # first attempt hangs past the bounded timeout, second succeeds.
+    # flag lives in tmp_path: a shared source-dir flag made concurrent pytest
+    # sessions race (vacuous pass or a 60 s hang) and dirtied git status
+    flag = tmp_path / "claim_flag"
     probe = (
         "import pathlib, time\n"
         f"f = pathlib.Path({str(flag)!r})\n"

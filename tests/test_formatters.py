@@ -305,4 +305,5 @@ def test_make_ref_mirror_null_memory_fields(tmp_path, monkeypatch):
     )
     mod.main()
     text = out.read_text()
-    assert "| - |" in text and "None" not in text
+    # the same em-dash marker missing ROWS use — one "no data" glyph
+    assert "| — |" in text and "None" not in text

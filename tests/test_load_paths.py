@@ -66,17 +66,18 @@ def test_init_params_matches_load_params_schema(tmp_path):
     from dinov2_tpu.models.config import DinoConfig
     from dinov2_tpu.models.params import init_params, load_params
 
-    for kw in (
+    for i, kw in enumerate((
         dict(),  # plain
         dict(num_register_tokens=4),  # registers
         dict(num_hidden_layers=40, hidden_size=64),  # SwiGLU trigger (quirk Q6)
         dict(num_classes=0),  # backbone-only, no classifier
-    ):
+    )):
         cfg = DinoConfig(**{
             "hidden_size": 64, "num_hidden_layers": 2, "num_attention_heads": 2,
             "num_classes": 4, "patch_size": 14, "img_size": 70, **kw,
         })
-        path = write_synthetic_gguf(tmp_path / f"s{len(kw)}.gguf", cfg, seed=1)
+        # index-named: f"s{len(kw)}" collided for the two single-key cases
+        path = write_synthetic_gguf(tmp_path / f"s{i}.gguf", cfg, seed=1)
         loaded = load_params(path, dtype=jnp.float32).params
         inited = init_params(cfg, seed=0, dtype=jnp.float32)
         assert jax.tree_util.tree_structure(loaded) == jax.tree_util.tree_structure(

@@ -53,8 +53,11 @@ def _jax_inputs(pixel_values):
 F32_OPTS = ModelOptions(parity="hf", compute_dtype=jnp.float32)
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def torch_seed():
+    # function-scoped on purpose: module scope seeds the torch RNG only once,
+    # so every later test's weights depend on which tests ran before it — a
+    # marginal tolerance failure would not reproduce under pytest -k
     torch.manual_seed(1234)
 
 
@@ -329,7 +332,7 @@ def test_forward_rogue_overflow_rescue(rng, monkeypatch):
     )
 
 
-def test_outlier_channel_robustness(rng):
+def test_outlier_channel_robustness(rng, tmp_path):
     """Offline proxy for real-checkpoint robustness (VERDICT r2 missing #2):
     real DINOv2 checkpoints have outlier channels whose activations stress
     bf16 and the quant formats. Build weights with heavy-tailed per-channel
@@ -381,6 +384,29 @@ def test_outlier_channel_robustness(rng):
     # top-1 stable across dtypes despite 50x outlier channels
     assert (outs["f32"]["probs"].argmax(-1) == outs["bf16"]["probs"].argmax(-1)).all()
     assert np.abs(outs["f32"]["probs"] - outs["bf16"]["probs"]).max() < 0.05
+
+    # the docstring's quant coverage: round-trip the SAME spiked weights
+    # through q4_0 and require the dequant and fused-kernel paths to agree
+    # (same math, different schedule) with finite outputs
+    from dinov2_tpu.io.export import export_gguf
+    from dinov2_tpu.models.params import load_params
+    from dinov2_tpu.quant.quantize import quantize_gguf
+
+    fp = tmp_path / "spiked.gguf"
+    export_gguf(fp, params, config)
+    qp = tmp_path / "spiked.q4_0.gguf"
+    quantize_gguf(fp, qp, "q4_0")
+    probs_q = {}
+    for mode in ("dequant", "fused"):
+        lq = load_params(qp, dtype=jnp.float32, quant_mode=mode)
+        out = forward(
+            lq.params, x, lq.config,
+            ModelOptions(parity="hf", compute_dtype=jnp.float32),
+            classify=True,
+        )
+        probs_q[mode] = np.asarray(out["probs"])
+        assert np.isfinite(probs_q[mode]).all(), f"{mode} non-finite under outliers"
+    np.testing.assert_allclose(probs_q["dequant"], probs_q["fused"], atol=5e-3)
 
 
 def test_batch_chunked_forward_matches_whole_batch(rng, monkeypatch):

@@ -17,7 +17,14 @@ ALL_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLTyp
 
 
 def _numpy_only(monkeypatch):
+    """Route the next quant/blocks calls through the numpy path."""
     monkeypatch.setenv("DINOV2_TPU_NO_NATIVE", "1")
+    native._lib = None  # force re-dispatch
+
+
+def _native_again(monkeypatch):
+    monkeypatch.delenv("DINOV2_TPU_NO_NATIVE")
+    native._lib = None
 
 
 @pytest.fixture
@@ -30,11 +37,9 @@ def test_quantize_bitexact(t, data, monkeypatch):
     from dinov2_tpu.quant import blocks
 
     got = native.quantize(data, int(t))
-    monkeypatch.setenv("DINOV2_TPU_NO_NATIVE", "1")
-    native._lib = None  # force re-dispatch
+    _numpy_only(monkeypatch)
     want = blocks.quantize(data, t)
-    monkeypatch.delenv("DINOV2_TPU_NO_NATIVE")
-    native._lib = None
+    _native_again(monkeypatch)
     np.testing.assert_array_equal(got, want)
 
 
@@ -44,11 +49,9 @@ def test_dequantize_bitexact(t, data, monkeypatch):
 
     raw = blocks.quantize(data, t)
     got = native.dequantize(raw, int(t), data.shape)
-    monkeypatch.setenv("DINOV2_TPU_NO_NATIVE", "1")
-    native._lib = None
+    _numpy_only(monkeypatch)
     want = blocks.dequantize(raw, t, data.shape)
-    monkeypatch.delenv("DINOV2_TPU_NO_NATIVE")
-    native._lib = None
+    _native_again(monkeypatch)
     np.testing.assert_array_equal(got, want)
 
 
@@ -58,11 +61,9 @@ def test_unpack_codes_bitexact(t, data, monkeypatch):
 
     raw = blocks.quantize(data, t)
     got = native.unpack_codes(raw, int(t), data.shape)
-    monkeypatch.setenv("DINOV2_TPU_NO_NATIVE", "1")
-    native._lib = None
+    _numpy_only(monkeypatch)
     want = blocks.unpack_codes(raw, t, data.shape)
-    monkeypatch.delenv("DINOV2_TPU_NO_NATIVE")
-    native._lib = None
+    _native_again(monkeypatch)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
     if want[2] is None:

@@ -12,8 +12,6 @@ from dinov2_tpu.image.pca import pca_project, pca_to_u8_grid, pca_visualization
 
 def test_projection_matches_cv2_up_to_sign(rng):
     tokens = rng.standard_normal((100, 32)).astype(np.float32)
-    pca = cv2.PCA_create() if hasattr(cv2, "PCA_create") else None
-    mean = np.empty(0)
     eigvecs = cv2.PCACompute(tokens, mean=None, maxComponents=3)[1]  # (3, 32)
     want = (tokens - tokens.mean(axis=0)) @ eigvecs.T
 

@@ -48,7 +48,11 @@ def scalar_quantize_block(x, t):
         d = amax / 127.0
         idv = 1.0 / d if d else 0.0
         out["d"] = np.float16(d)
-        out["qs"] = [int(np.round(v * idv)) for v in x]
+        # ggml's roundf = half-AWAY-from-zero; np.round is half-to-even and
+        # diverges on exact half-step ties (e.g. v*idv == 2.5)
+        out["qs"] = [
+            int(np.sign(v) * np.floor(abs(float(v) * idv) + 0.5)) for v in x
+        ]
         return out
 
     out["qs"] = [(q[j] & 0xF) | ((q[16 + j] & 0xF) << 4) for j in range(16)]

@@ -175,6 +175,7 @@ def test_wedged_batcher_returns_504(tmp_path, rng):
         assert exc.value.code == 504
     finally:
         srv._http.shutdown()
+        srv._http.server_close()  # release the listening socket fd
 
 
 def test_server_mixed_concurrent_load(server, rng):
@@ -491,6 +492,7 @@ def test_slowloris_connection_closed(tmp_path):
         DinoEngine(path, dtype=jnp.float32), port=0, read_timeout_s=1.0
     )
     srv.start()
+    s = None
     try:
         s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
         s.sendall(
@@ -504,5 +506,6 @@ def test_slowloris_connection_closed(tmp_path):
         assert data == b"", data[:100]
         assert elapsed < 15, f"connection lingered {elapsed:.1f}s"
     finally:
-        s.close()
+        if s is not None:
+            s.close()
         srv.stop()
