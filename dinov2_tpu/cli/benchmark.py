@@ -166,7 +166,11 @@ def _run(args, batch_sizes, tmpdir: Path) -> int:
         from dinov2_tpu.io.gguf import GGMLType, GGUFReader
 
         with GGUFReader(model_path) as r:
-            base_label = GGMLType(int(r.kv.get("ftype", GGMLType.F16))).name.lower()
+            # % 1000 strips the old-convention quant-version factor, matching
+            # DinoConfig.from_gguf_kv (dinov2.cpp:307) — GGMLType(2002) raises
+            base_label = GGMLType(
+                int(r.kv.get("ftype", GGMLType.F16)) % 1000
+            ).name.lower()
         variants = [(base_label, model_path, args.quant_mode)]
     else:
         variants = [("f16", model_path, "dequant")]

@@ -144,6 +144,7 @@ class BatchingServer:
         # instead, with the limit in the message.
         self.max_body_bytes = int(max_body_mb * 1024 * 1024)
         self.max_side = max_side
+        self.read_timeout_s = read_timeout_s
         self._queue: queue.Queue[_Pending] = queue.Queue()
         self._stop = threading.Event()
         self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
@@ -160,12 +161,33 @@ class BatchingServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
-            # socket timeout for the whole request read: without it, a client
-            # that declares Content-Length and under-sends pins this handler
-            # thread forever (ThreadingHTTPServer spawns one per connection,
-            # so a slowloris client exhausts threads). A stalled read raises
+            # per-recv socket timeout: a fully stalled read raises
             # socket.timeout, which handle_one_request turns into a close.
+            # This alone does NOT bound a drip-feeding client (1 byte per
+            # 29 s keeps every recv inside the window) — _read_body below
+            # adds the whole-request deadline for that.
             timeout = read_timeout_s
+
+            def _read_body(self, length: int) -> bytes | None:
+                """Read the declared body under a WHOLE-REQUEST deadline of
+                read_timeout_s: without it, a slowloris client dripping one
+                byte per almost-timeout pins this handler thread (one per
+                connection under ThreadingHTTPServer) for length*timeout
+                seconds. None = deadline exceeded."""
+                deadline = time.monotonic() + server.read_timeout_s
+                chunks, remaining = [], length
+                while remaining > 0:
+                    if time.monotonic() >= deadline:
+                        return None
+                    # read1 = at most ONE underlying recv, so the deadline is
+                    # re-checked after every packet; plain read(n) blocks
+                    # until n bytes arrive and a drip-feed never returns
+                    chunk = self.rfile.read1(min(65536, remaining))
+                    if not chunk:  # client closed early; let decode fail it
+                        break
+                    chunks.append(chunk)
+                    remaining -= len(chunk)
+                return b"".join(chunks)
 
             def log_message(self, *args):  # quiet
                 pass
@@ -234,7 +256,11 @@ class BatchingServer:
                         f"{server.max_body_bytes}-byte limit"
                     })
                     return
-                data = self.rfile.read(length)
+                data = self._read_body(length)
+                if data is None:
+                    self.close_connection = True
+                    self._reply(408, {"error": "request body read timed out"})
+                    return
                 dims = sniff_image_dims(data)
                 if dims is None:
                     # Containers the sniffer can't size (TIFF, PNM, ...) must
@@ -272,9 +298,26 @@ class BatchingServer:
                         f"compiles its own program)"
                     })
                     return
+                if server._stop.is_set():
+                    # stop() has drained the queue; enqueueing now would wait
+                    # on an event nothing will ever set
+                    self._reply(503, {"error": "server stopped"})
+                    return
                 pending = _Pending(image=img, mode=mode, t_enq=time.perf_counter())
                 server._queue.put(pending)
-                if not pending.event.wait(timeout=server.request_timeout_s):
+                # wait in 1 s slices so a stop() racing past the enqueue (its
+                # drain ran before our put landed) fails this request within
+                # ~1 s instead of the full request_timeout_s
+                deadline = time.monotonic() + server.request_timeout_s
+                while not pending.event.is_set():
+                    if pending.event.wait(timeout=min(1.0, max(0.0, deadline - time.monotonic()))):
+                        break
+                    if server._stop.is_set() and pending.error is None:
+                        pending.error = "server stopped"
+                        break
+                    if time.monotonic() >= deadline:
+                        break
+                if not pending.event.is_set() and pending.error is None:
                     # Batcher thread dead/wedged — never reply 200 with null.
                     self._reply(504, {"error": "inference timed out"})
                 elif pending.error is not None:

@@ -302,13 +302,19 @@ def main(argv=None) -> int:
         from dinov2_tpu.quant.quantize import quantize_gguf
 
         # derived quant checkpoints go to a temp dir, never next to a
-        # user-supplied --gguf (read-only model dirs; name collisions)
+        # user-supplied --gguf (read-only model dirs; name collisions), and
+        # the dir is removed afterwards (GBs per run at large/giant)
+        import shutil
+
         qdir = Path(tempfile.mkdtemp(prefix="verify-quant-"))
-        for qt in ("q4_0", "q8_0"):
-            qpath = qdir / f"verify.{qt}.gguf"
-            quantize_gguf(gguf_path, qpath, qt)
-            lq = load_params(qpath, dtype=jnp.float32, quant_mode="fused")
-            leg(qt, lq, jnp.float32, ref_vec)
+        try:
+            for qt in ("q4_0", "q8_0"):
+                qpath = qdir / f"verify.{qt}.gguf"
+                quantize_gguf(gguf_path, qpath, qt)
+                lq = load_params(qpath, dtype=jnp.float32, quant_mode="fused")
+                leg(qt, lq, jnp.float32, ref_vec)
+        finally:
+            shutil.rmtree(qdir, ignore_errors=True)
 
     print("PARITY OK" if ok else "PARITY FAILED")
     return 0 if ok else 1

@@ -509,3 +509,50 @@ def test_slowloris_connection_closed(tmp_path):
         if s is not None:
             s.close()
         srv.stop()
+
+
+def test_dripfeed_body_408(tmp_path):
+    """A client dripping bytes slower than the whole-request deadline must be
+    cut off with a 408: the per-recv socket timeout alone never fires when
+    each packet arrives inside its window, pinning the handler thread for
+    Content-Length * interval seconds."""
+    import socket
+    import threading as _threading
+    import time as _time
+
+    path = tmp_path / "m.gguf"
+    write_synthetic_gguf(path, TINY, seed=3)
+    srv = BatchingServer(
+        DinoEngine(path, dtype=jnp.float32), port=0, read_timeout_s=1.0
+    )
+    srv.start()
+    s = None
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(
+            b"POST /classify HTTP/1.1\r\nHost: x\r\nContent-Length: 100000\r\n\r\n"
+        )
+
+        stop_drip = _threading.Event()
+
+        def drip():
+            while not stop_drip.is_set():
+                try:
+                    s.sendall(b"x")
+                except OSError:
+                    return
+                _time.sleep(0.2)
+
+        t = _threading.Thread(target=drip, daemon=True)
+        t.start()
+        s.settimeout(30)
+        t0 = _time.perf_counter()
+        data = s.recv(4096)
+        elapsed = _time.perf_counter() - t0
+        stop_drip.set()
+        assert b"408" in data.split(b"\r\n", 1)[0], data[:100]
+        assert elapsed < 15, f"drip-feed lingered {elapsed:.1f}s"
+    finally:
+        if s is not None:
+            s.close()
+        srv.stop()
