@@ -24,8 +24,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--parity", choices=["reference", "hf"], default="reference",
                    help="numerics parity target (ggml quirks vs HF semantics)")
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
-    p.add_argument("--quant-mode", choices=["dequant", "fused"], default="dequant",
-                   help="quantized checkpoints: dequant at load, or fused Pallas dequant-matmul")
+    p.add_argument("--quant-mode", choices=["dequant", "fused", "int8"], default="dequant",
+                   help="quantized checkpoints: dequant at load, or fused Pallas "
+                   "dequant-matmul; 'int8' = W8A8 serving mode (per-row int8 "
+                   "weights + dynamic int8 activations on the MXU's native "
+                   "s8xs8 path — works on ANY checkpoint ftype incl. fp16)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices (ICI mesh)")
     p.add_argument("--mesh", default=None, metavar="DP[,TP]",

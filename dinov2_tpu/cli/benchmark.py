@@ -114,7 +114,8 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--quant", default=None,
                    help="also quantize+benchmark: comma list of q4_0,q4_1,q5_0,q5_1,q8_0")
-    p.add_argument("--quant-mode", default="dequant", choices=["dequant", "fused"])
+    p.add_argument("--quant-mode", default="dequant",
+                   choices=["dequant", "fused", "int8"])
     p.add_argument("-fa", "--flash-attn", action="store_true")
     p.add_argument("--registers", type=int, default=0,
                    help="synthetic checkpoints: number of register tokens "
@@ -172,6 +173,11 @@ def _run(args, batch_sizes, tmpdir: Path) -> int:
                 int(r.kv.get("ftype", GGMLType.F16)) % 1000
             ).name.lower()
         variants = [(base_label, model_path, args.quant_mode)]
+    elif args.quant_mode == "int8":
+        # int8 is a runtime mode that applies to ANY ftype, including the
+        # synthetic f16 checkpoint — unlike "fused", which needs ggml blocks
+        # and would silently downgrade to dequant here
+        variants = [("f16-int8", model_path, "int8")]
     else:
         variants = [("f16", model_path, "dequant")]
     if args.quant:

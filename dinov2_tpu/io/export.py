@@ -27,13 +27,15 @@ def export_gguf(
     config: DinoConfig,
     id2label: dict[int, str] | None = None,
 ) -> Path:
-    leaves = jax.tree_util.tree_leaves(
-        params, is_leaf=lambda x: hasattr(x, "ggml_type")
-    )
-    if any(hasattr(leaf, "ggml_type") for leaf in leaves):
+    def _is_quant(x) -> bool:
+        return hasattr(x, "ggml_type") or getattr(x, "int8_per_row", False)
+
+    leaves = jax.tree_util.tree_leaves(params, is_leaf=_is_quant)
+    if any(_is_quant(leaf) for leaf in leaves):
         raise ValueError(
-            "cannot export fused-quantized params; reload with quant_mode='dequant' "
-            "or quantize the exported fp16 file with quant/quantize.py"
+            "cannot export fused-quantized or int8 params; reload with "
+            "quant_mode='dequant' or quantize the exported fp16 file with "
+            "quant/quantize.py"
         )
 
     w = GGUFWriter(path, arch="dinov2")

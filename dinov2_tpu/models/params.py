@@ -82,6 +82,63 @@ class QuantLinear:
         )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Int8Linear:
+    """A W8A8 serving-mode linear weight: per-output-row symmetric int8.
+
+    TPU-native quantization with NO reference analog: the MXU has a native
+    s8xs8->s32 path (2x the bf16 rate on v5e), so this is the one weight form
+    whose matmul can be FASTER than dense bf16 — ggml's block formats cannot
+    feed it because their scales vary along the contraction axis (a per-32
+    rescale inside the K-sum would need K/32 separate GEMMs). Built at LOAD
+    time from any checkpoint ftype (fp16/fp32 or any ggml block format) by
+    per-row absmax requantization — it is a runtime mode (quant_mode="int8"),
+    not a GGUF on-disk format, so checkpoint interop is untouched.
+
+    codes: (out, in) int8, symmetric (no zero-point)
+    s:     (out,) float32 per-row scale; dense w ~= codes * s[:, None]
+
+    Activations are quantized dynamically per token row at matmul time
+    (ops/qmatmul.py::int8_matmul). int8_per_row is the dispatch marker —
+    deliberately NOT `ggml_type`, so this container can never be misrouted
+    into the ggml block-layout kernels (pallas_qmatmul, fused_quant_attention,
+    tp_fused)."""
+
+    codes: jnp.ndarray
+    s: jnp.ndarray
+    shape: tuple[int, int]  # static (out, in)
+
+    int8_per_row = True  # class-level dispatch marker
+
+    def tree_flatten(self):
+        return (self.codes, self.s), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(codes=children[0], s=children[1], shape=aux[0])
+
+
+def _int8_from_tensor(t: GGUFTensor) -> Int8Linear:
+    """Per-row symmetric int8 requantization of a 2D weight (host-side, once
+    at load). Sources: fp16/fp32 directly; ggml block formats via their exact
+    dequantization (quant/blocks.py) — so an int8 model derived from a q8_0
+    file sees the same dense values the dequant path would."""
+    arr = np.asarray(t.as_numpy(), dtype=np.float32)
+    if arr.ndim != 2:
+        raise ValueError(f"int8 mode needs a 2D weight, got {arr.shape}")
+    if not np.isfinite(arr).all():
+        raise ValueError("int8 requantization refuses non-finite weights")
+    s = np.abs(arr).max(axis=1) / 127.0
+    s = np.maximum(s, 1e-12)
+    codes = np.clip(np.rint(arr / s[:, None]), -127, 127).astype(np.int8)
+    return Int8Linear(
+        codes=jnp.asarray(codes),
+        s=jnp.asarray(s, dtype=jnp.float32),
+        shape=(int(arr.shape[0]), int(arr.shape[1])),
+    )
+
+
 # All four sub-8-bit formats run fully packed (see ops/pallas_qmatmul.py).
 # Round 1's q5_1 Mosaic crash (5th-bit planes + affine blocksums at k2 >= 1536
 # with bn > 128) no longer reproduces with the round-2 kernel (natural-order
@@ -223,7 +280,9 @@ def _linear(
     w = tensors[f"{name}.weight"]
     b = tensors.get(f"{name}.bias")
     out: dict[str, Any] = {}
-    if w.ggml_type in QUANTIZED_TYPES and quant_mode == "fused":
+    if quant_mode == "int8":
+        out["kernel"] = _int8_from_tensor(w)  # kept (out, in); matmul transposes
+    elif w.ggml_type in QUANTIZED_TYPES and quant_mode == "fused":
         out["kernel"] = _soa_from_blocks(w)  # kept (out, in); kernel transposes
     elif w.ggml_type == GGMLType.F16 and dtype != jnp.float32:
         # transpose on device too: the host-side .T would force an f16 copy
@@ -315,7 +374,9 @@ def load_params(
 
     ftype = GGMLType(config.ftype)
     quantized = ftype in QUANTIZED_TYPES
-    if not quantized:
+    if not quantized and quant_mode == "fused":
+        # "fused" needs ggml blocks to keep packed; "int8" requantizes from
+        # ANY source ftype (it is a runtime mode, not an on-disk format)
         quant_mode = "dequant"
 
     p: dict[str, Any] = {}

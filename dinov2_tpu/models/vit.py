@@ -116,6 +116,8 @@ def _attention_half_layer(
     proj_k = layer["proj"]["kernel"]
     qkv_quant = hasattr(qkv_k, "ggml_type")
     proj_quant = hasattr(proj_k, "ggml_type")
+    qkv_int8 = getattr(qkv_k, "int8_per_row", False)
+    proj_int8 = getattr(proj_k, "int8_per_row", False)
     if (
         resolve_attention_path(opts.flash_attention, t, d, x.dtype.itemsize)
         == "slab"
@@ -128,11 +130,33 @@ def _attention_half_layer(
         )
 
         scale = 1.0 / (d // heads) ** 0.5
-        if not qkv_quant and not proj_quant:
+        if not (qkv_quant or proj_quant or qkv_int8 or proj_int8):
             if fits_slab_layer(t, d, x.dtype.itemsize):
                 return slab_layer_block(
                     x, layer["norm1"]["scale"], layer["norm1"]["bias"],
                     qkv_k, layer["qkv"]["bias"], proj_k, layer["proj"]["bias"],
+                    layer["ls1"], heads, scale, config.eps,
+                )
+        elif qkv_int8 and proj_int8:
+            # W8A8 mode at slab shapes: per-row transient dequant (codes*s,
+            # two cheap VPU passes) into the DENSE half-layer kernel — the
+            # slab fusion's removed HBM round-trips (qkv slab + attention
+            # output) outweigh the int8 GEMM's MXU-rate win, which only
+            # applies where the GEMMs are unfused (giant SwiGLU, over-budget
+            # shapes — those fall through to int8_matmul via apply_linear).
+            # Same "off" knob as the ggml routes so A/B runs measure the
+            # truly-unfused int8 path.
+            import os
+
+            if os.environ.get(
+                "DINOV2_TPU_QUANT_SLAB", "auto"
+            ) != "off" and fits_slab_layer(t, d, x.dtype.itemsize):
+                from dinov2_tpu.ops.qmatmul import dequant_weight
+
+                return slab_layer_block(
+                    x, layer["norm1"]["scale"], layer["norm1"]["bias"],
+                    dequant_weight(qkv_k, x.dtype).T, layer["qkv"]["bias"],
+                    dequant_weight(proj_k, x.dtype).T, layer["proj"]["bias"],
                     layer["ls1"], heads, scale, config.eps,
                 )
         elif qkv_quant and proj_quant:
@@ -228,8 +252,16 @@ def _mlp_half_layer(
             import os
 
             fc1_k, fc2_k = mlp["fc1"]["kernel"], mlp["fc2"]["kernel"]
-            fc1_quant = hasattr(fc1_k, "ggml_type")
-            if fc1_quant != hasattr(fc2_k, "ggml_type"):
+            # Int8Linear rides the same transient-dequant-into-slab route as
+            # the ggml formats (dequant_weight handles both); "off" exposes
+            # the unfused int8_matmul path for A/B runs
+            fc1_quant = hasattr(fc1_k, "ggml_type") or getattr(
+                fc1_k, "int8_per_row", False
+            )
+            fc2_quant = hasattr(fc2_k, "ggml_type") or getattr(
+                fc2_k, "int8_per_row", False
+            )
+            if fc1_quant != fc2_quant:
                 fc1_k = None  # mixed dense/quant MLP: no fused route
             elif fc1_quant and os.environ.get("DINOV2_TPU_QUANT_SLAB") == "off":
                 # same knob as the attention half-layer: "off" disables EVERY

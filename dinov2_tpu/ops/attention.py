@@ -111,7 +111,9 @@ def self_attention_block(
         )
 
         if fits_slab_proj(t, d, x_norm.dtype.itemsize):
-            if hasattr(proj_kernel, "ggml_type"):
+            if hasattr(proj_kernel, "ggml_type") or getattr(
+                proj_kernel, "int8_per_row", False
+            ):
                 # quantized proj at shapes past the full quant half-layer
                 # kernel's VMEM budget (e.g. ViT-L): per-layer XLA dequant
                 # into the proj-fused slab kernel still beats the unfused

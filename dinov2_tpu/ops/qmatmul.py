@@ -44,9 +44,13 @@ def _resolve_backend(backend: str) -> str:
 def dequant_weight(ql, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Decode a QuantLinear to a dense (out, in) weight on device:
     w = codes*d (+ m for the min/offset formats). Handles both the int8-SoA
-    layout and the packed-nibble layout (models/params.py::QuantLinear).
+    layout and the packed-nibble layout (models/params.py::QuantLinear), plus
+    the per-row Int8Linear serving layout (codes * s[:, None] — the transient
+    route that feeds int8 weights into the dense slab kernels).
     Dims come from the arrays (shard_map passes per-device shards whose
     static ql.shape aux still holds the global shape)."""
+    if getattr(ql, "int8_per_row", False):
+        return (ql.codes.astype(jnp.float32) * ql.s[:, None]).astype(dtype)
     out_dim = ql.codes.shape[0]
     in_dim = ql.codes.shape[1] * (2 if getattr(ql, "packed", False) else 1)
     nb = in_dim // 32
@@ -121,6 +125,43 @@ def apply_activation(y: jnp.ndarray, activation: str | None) -> jnp.ndarray:
 _apply_activation = apply_activation  # internal callers predate the rename
 
 
+def quantize_rows_int8(x: jnp.ndarray):
+    """Dynamic per-row symmetric int8 activation quantization: for each
+    trailing-axis row, s = absmax/127 and codes = rint(x/s). |x/s| <= 127 by
+    construction, so no clip is needed; all-zero rows hit the 1e-12 floor and
+    produce zero codes. Returns (codes int8, scales f32 with keepdims)."""
+    xf = x.astype(jnp.float32)
+    ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-12) * (1.0 / 127.0)
+    return jnp.round(xf / sx).astype(jnp.int8), sx
+
+
+def int8_matmul(
+    x: jnp.ndarray,
+    il,
+    bias: jnp.ndarray | None = None,
+    activation: str | None = None,
+) -> jnp.ndarray:
+    """y = x @ W^T for a per-row Int8Linear: dynamic per-token activation
+    quantization -> native s8xs8->s32 MXU matmul -> f32 rescale by the outer
+    product of the two scale vectors. The int8 GEMM runs at ~2x the bf16 MXU
+    rate on v5e (measured +21-43% at ViT GEMM shapes including the quantize
+    and rescale passes — scripts/probe_int8.py); XLA fuses the quantize into
+    the preceding elementwise chain and the rescale/bias/activation into the
+    matmul epilogue."""
+    x8, sx = quantize_rows_int8(x)
+    acc = jax.lax.dot_general(
+        x8, il.codes,
+        (((x8.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * il.s
+    y = y.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return _apply_activation(y, activation)
+
+
 def quant_matmul(
     x: jnp.ndarray,
     ql,
@@ -165,6 +206,10 @@ def apply_linear(
     otherwise each quantized matmul pays a separate XLA elementwise pass over
     the (M, N) output (the round-1 fused-quant large-batch gap)."""
     kernel = layer["kernel"]
+    if getattr(kernel, "int8_per_row", False):  # Int8Linear -> W8A8 MXU path
+        return int8_matmul(
+            x, kernel, bias=layer.get("bias"), activation=activation
+        )
     if hasattr(kernel, "ggml_type"):  # QuantLinear -> single dispatch point
         return quant_matmul(
             x, kernel, backend=backend,

@@ -128,8 +128,22 @@ class DinoEngine:
             if not tp_fused:
                 from dinov2_tpu.parallel.mesh import shard_params
 
+                tensor_parallel = "model" in mesh_axes
+                if tensor_parallel and quant_mode == "int8":
+                    # param_pspecs has no Megatron split for Int8Linear (the
+                    # per-row scales would need the same row/col split as the
+                    # codes); sharding only the dense biases while replicating
+                    # the kernels buys nothing — replicate coherently instead
+                    from dinov2_tpu.utils.logging import get_logger
+
+                    get_logger().warning(
+                        "int8 weights are not tensor-parallel sharded; "
+                        "replicating over the %d-way 'model' axis",
+                        mesh_axes["model"],
+                    )
+                    tensor_parallel = False
                 self.params = shard_params(
-                    self.params, self.mesh, tensor_parallel="model" in mesh_axes
+                    self.params, self.mesh, tensor_parallel=tensor_parallel
                 )
         elif data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
